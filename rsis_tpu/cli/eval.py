@@ -1,0 +1,62 @@
+"""Evaluation entry point: COCO-style eval on Pascal
+(``python -m rsis_tpu.cli.eval -model_name ...``), mirroring the reference
+``python eval.py`` (reference: src/eval.py:401-414).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+from ..config import Config, config_from_args
+from ..evals.evaluator import Evaluator
+from ..models.rsis import init_variables
+from ..train.checkpoint import load_checkpoint, model_dir
+from ..train.step import create_train_state
+
+
+def load_eval_variables(cfg: Config):
+    """Rebuild the model from the pickled train config + checkpoint
+    (reference: src/eval.py:233-246)."""
+    saved = Config.load(os.path.join(model_dir(cfg), "args.json"))
+    model_cfg = saved.replace(eval_split=cfg.eval_split,
+                              models_root=cfg.models_root,
+                              model_name=cfg.model_name,
+                              batch_size=cfg.batch_size)
+    variables = init_variables(model_cfg, jax.random.PRNGKey(cfg.seed))
+    template = create_train_state(model_cfg, variables)
+    state, _ = load_checkpoint(cfg, template)
+    return model_cfg, {"params": state.params,
+                       "batch_stats": state.batch_stats}
+
+
+def main(argv=None):
+    # evaluation compares against fp32 torch-trained weights; keep matmuls
+    # exact (bf16 is the training/bench fast path)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    cfg = config_from_args(argv)
+    if not cfg.log_term:
+        log_path = os.path.join(model_dir(cfg), "eval.log")
+        print("Eval logs will be saved to:", log_path)
+        sys.stdout = open(log_path, "w")
+    model_cfg, variables = load_eval_variables(cfg)
+    eval_cfg = model_cfg.replace(
+        mask_th=cfg.mask_th, stop_th=cfg.stop_th, class_th=cfg.class_th,
+        max_dets=cfg.max_dets, min_size=cfg.min_size, cat_id=cfg.cat_id,
+        use_cats=cfg.use_cats, all_classes=cfg.all_classes,
+        no_run_coco_eval=cfg.no_run_coco_eval, eval_split=cfg.eval_split)
+    ev = Evaluator(eval_cfg, variables)
+    print("Dataset is %s" % eval_cfg.dataset)
+    print("Split is %s" % eval_cfg.eval_split)
+    print("Evaluating for %d images" % len(ev.sample_list))
+    print("Number of classes is %d" % len(ev.class_names))
+    if eval_cfg.no_run_coco_eval:
+        ev.create_annotations()
+    else:
+        ev.run_eval()
+
+
+if __name__ == "__main__":
+    main()

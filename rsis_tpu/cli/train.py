@@ -1,0 +1,22 @@
+"""Training entry point: ``python -m rsis_tpu.cli.train -model_name ...``
+
+CLI-compatible with the reference ``python train.py`` (reference:
+src/train.py:505-513).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import config_from_args
+from ..train.loop import train
+
+
+def main(argv=None):
+    cfg = config_from_args(argv)
+    np.random.seed(cfg.seed)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+"""Evaluation layer: inference forward, COCO eval, exporters, CVPPP metrics."""
+
+from .coco import COCO  # noqa: F401
+from .cocoeval import COCOeval  # noqa: F401
+from .cvppp import (  # noqa: F401
+    abs_diff_fg_labels,
+    best_dice,
+    dice_score,
+    evaluate_batch,
+    symmetric_best_dice,
+)
+from .evaluator import Evaluator, create_coco_object, resize_mask  # noqa: F401
+from .exporters import CityscapesExporter, LeavesExporter  # noqa: F401
+from .forward import make_forward, run_forward  # noqa: F401

@@ -123,16 +123,19 @@ class ResNetTaps(nn.Module):
         return x5, x4, x3, x2, x1
 
 
-def resnet34(dtype=jnp.float32):
-    return ResNetTaps(stage_sizes=(3, 4, 6, 3), bottleneck=False, dtype=dtype)
+def resnet34(dtype=jnp.float32, **kw):
+    return ResNetTaps(stage_sizes=(3, 4, 6, 3), bottleneck=False, dtype=dtype,
+                      **kw)
 
 
-def resnet50(dtype=jnp.float32):
-    return ResNetTaps(stage_sizes=(3, 4, 6, 3), bottleneck=True, dtype=dtype)
+def resnet50(dtype=jnp.float32, **kw):
+    return ResNetTaps(stage_sizes=(3, 4, 6, 3), bottleneck=True, dtype=dtype,
+                      **kw)
 
 
-def resnet101(dtype=jnp.float32):
-    return ResNetTaps(stage_sizes=(3, 4, 23, 3), bottleneck=True, dtype=dtype)
+def resnet101(dtype=jnp.float32, **kw):
+    return ResNetTaps(stage_sizes=(3, 4, 23, 3), bottleneck=True, dtype=dtype,
+                      **kw)
 
 
 _VGG16_PLAN = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
@@ -160,8 +163,8 @@ class VGG16Taps(nn.Module):
         return x5, x4, x3, x2, x1
 
 
-def vgg16(dtype=jnp.float32):
-    return VGG16Taps(dtype=dtype)
+def vgg16(dtype=jnp.float32, **kw):
+    return VGG16Taps(dtype=dtype, **kw)
 
 
 # channel widths of (x5..x1) per backbone

@@ -31,7 +31,7 @@ class FeatureExtractor(nn.Module):
         mode: "skip" -> 5 projected skip features (x5..x1 order);
               "raw"  -> raw backbone taps; "semseg" -> coarsest raw tap.
         """
-        base = BACKBONES[self.base_model](dtype=self.dtype).clone(name="base")
+        base = BACKBONES[self.base_model](dtype=self.dtype, name="base")
         taps = base(x, train=train)
         if mode == "semseg":
             return taps[0]

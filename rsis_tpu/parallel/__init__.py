@@ -1,0 +1,8 @@
+"""Device mesh and sharding helpers."""
+
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    create_mesh,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,43 @@
+"""Data-parallel device mesh utilities.
+
+The reference's entire distribution story is single-host
+``torch.nn.DataParallel`` (reference: src/train.py:269-274). Here data
+parallelism is a first-class mesh axis: batches are sharded over ``"data"``,
+parameters are replicated, and XLA inserts the gradient all-reduce (psum over
+ICI) from the sharding annotations — no hand-written communication.
+A ``"model"`` axis is reserved for spatial/tensor sharding of high-res
+streaming inference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(num_devices: int = 0,
+                devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices
+    (0 = all visible)."""
+    devs = list(devices if devices is not None else jax.devices())
+    if num_devices and num_devices > 0:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of host arrays onto the mesh, batch-sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,271 @@
+"""Training driver: epochs, curriculum state machine, patience, rollback.
+
+Re-design of the reference ``trainIters`` (reference: src/train.py:199-503):
+
+- per-epoch schedule flips (start class loss / stop loss / encoder updates
+  at configured epochs; reference: src/train.py:313-338)
+- patience-driven escalation that *reloads the best checkpoint* whenever a
+  loss term is added or the encoder is unfrozen (soft rollback; reference:
+  src/train.py:450-499)
+- curriculum learning that grows ``limit_seqlen_to`` (recompiling the scan
+  for the new T; reference: src/train.py:299-300,461-467)
+- best-val checkpointing with ``min_delta`` and optional smoothed val curve,
+  early stop after ``patience_stop`` epochs without improvement
+- the fixed-format loss log lines that plot_curves parses (the log format
+  is an API; reference: src/train.py:397-401,437)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data import DataLoader, get_dataset, unpack_target
+from ..models.rsis import init_variables
+from ..parallel.mesh import create_mesh, shard_batch
+from .checkpoint import (
+    checkpoint_exists, load_checkpoint, model_dir, save_checkpoint)
+from .step import StepFlags, TrainState, create_train_state, make_train_step
+
+
+def init_dataloaders(cfg: Config):
+    loaders = {}
+    class_names = None
+    for split in ["train", "val"]:
+        ds = get_dataset(cfg, split=split,
+                         augment=cfg.augment and split == "train")
+        loaders[split] = DataLoader(ds, batch_size=cfg.batch_size,
+                                    shuffle=True, drop_last=True,
+                                    num_workers=cfg.num_workers,
+                                    seed=cfg.seed)
+        class_names = ds.get_classes()
+    return loaders, class_names
+
+
+class Trainer:
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else create_mesh(
+            cfg.num_devices)
+        self._steps: Dict[int, tuple] = {}  # T -> (train_step, eval_step)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    def _get_steps(self, T: int):
+        if T not in self._steps:
+            self._steps[T] = make_train_step(self.cfg, T=T, mesh=self.mesh)
+        return self._steps[T]
+
+    def current_T(self) -> int:
+        cfg = self.cfg
+        if cfg.curriculum_learning and cfg.limit_seqlen_to > 0:
+            return min(cfg.maxseqlen, cfg.limit_seqlen_to)
+        return cfg.maxseqlen
+
+    def run(self):
+        cfg = self.cfg
+        epoch_resume = 0
+
+        if cfg.resume and checkpoint_exists(cfg):
+            variables = init_variables(cfg, self.rng)
+            template = create_train_state(cfg, variables)
+            state, saved_cfg = load_checkpoint(cfg, template)
+            # saved config takes precedence, like the reference args.pkl
+            cfg = self.cfg = saved_cfg.replace(resume=True)
+            epoch_resume = cfg.epoch_resume
+        elif cfg.transfer and checkpoint_exists(cfg, cfg.transfer_from):
+            src_cfg = Config.load(os.path.join(
+                model_dir(cfg, cfg.transfer_from), "args.json"))
+            variables = init_variables(src_cfg, self.rng)
+            template = create_train_state(src_cfg, variables)
+            src_state, _ = load_checkpoint(cfg, template, cfg.transfer_from)
+            variables = {"params": src_state.params,
+                         "batch_stats": src_state.batch_stats}
+            if src_cfg.dataset != cfg.dataset:
+                # swap fc_class for the new class count
+                fresh = init_variables(cfg, self.rng)
+                params = jax.tree.map(lambda x: x, variables["params"])
+                params["decoder"]["fc_class"] = (
+                    fresh["params"]["decoder"]["fc_class"])
+                variables = {"params": params,
+                             "batch_stats": variables["batch_stats"]}
+            state = create_train_state(cfg, variables)
+        else:
+            variables = init_variables(cfg, self.rng)
+            state = create_train_state(cfg, variables)
+
+        os.makedirs(model_dir(cfg), exist_ok=True)
+        cfg.save(os.path.join(model_dir(cfg), "args.json"))
+
+        log_fp = None
+        if not cfg.log_term:
+            log_path = os.path.join(model_dir(cfg), cfg.log_file)
+            print("Training logs will be saved to:", log_path)
+            log_fp = open(log_path, "w")
+            sys.stdout = log_fp
+
+        print(cfg.to_dict())
+
+        if cfg.curriculum_learning and epoch_resume == 0:
+            cfg = self.cfg = cfg.replace(limit_seqlen_to=2)
+
+        loaders, class_names = init_dataloaders(cfg)
+
+        best_val_loss = cfg.best_val_loss
+        acc_patience = 0
+        mt_val = -1.0
+        start = time.time()
+
+        try:
+            for e in range(cfg.max_epoch):
+                print("Epoch", e + epoch_resume)
+                epoch_losses = {
+                    s: {"total": [], "iou": [], "stop": [], "class": []}
+                    for s in ["train", "val"]}
+
+                # scheduled flag flips (reference: src/train.py:313-338)
+                ep = e + epoch_resume
+                if (ep >= cfg.finetune_after and not cfg.update_encoder
+                        and cfg.finetune_after != -1):
+                    print("Starting to update encoder")
+                    cfg = self.cfg = cfg.replace(update_encoder=True)
+                    acc_patience = 0
+                    mt_val = -1.0
+                if (ep >= cfg.class_loss_after and not cfg.use_class_loss
+                        and cfg.class_loss_after != -1):
+                    print("Starting to learn class loss")
+                    cfg = self.cfg = cfg.replace(use_class_loss=True)
+                    best_val_loss = 1000.0
+                    acc_patience = 0
+                    mt_val = -1.0
+                if (ep >= cfg.stop_loss_after and not cfg.use_stop_loss
+                        and cfg.stop_loss_after != -1):
+                    if (not cfg.curriculum_learning
+                            or cfg.limit_seqlen_to > cfg.min_steps):
+                        print("Starting to learn stop loss")
+                        cfg = self.cfg = cfg.replace(use_stop_loss=True)
+                        best_val_loss = 1000.0
+                        acc_patience = 0
+                        mt_val = -1.0
+
+                flags = StepFlags.from_config(cfg)
+                T = self.current_T()
+                train_step, eval_step = self._get_steps(T)
+
+                mt = mi = mc = mx = 0.0
+                for split in ["train", "val"]:
+                    for batch_idx, (imgs, tgts) in enumerate(loaders[split]):
+                        batch = self._to_device(imgs, tgts)
+                        self.rng, step_rng = jax.random.split(self.rng)
+                        if split == "train":
+                            state, metrics = train_step(state, batch, flags,
+                                                        step_rng)
+                        else:
+                            metrics = eval_step(state, batch, flags,
+                                                step_rng)
+                        m = np.asarray(metrics)
+                        epoch_losses[split]["total"].append(float(m[0]))
+                        epoch_losses[split]["iou"].append(float(m[1]))
+                        epoch_losses[split]["stop"].append(float(m[2]))
+                        epoch_losses[split]["class"].append(float(m[3]))
+
+                        if (batch_idx + 1) % cfg.print_every == 0:
+                            mt = np.mean(epoch_losses[split]["total"])
+                            mi = np.mean(epoch_losses[split]["iou"])
+                            mc = np.mean(epoch_losses[split]["class"])
+                            mx = np.mean(epoch_losses[split]["stop"])
+                            te = time.time() - start
+                            print("iter %d:\ttotal:%.4f\tclass:%.4f\t"
+                                  "iou:%.4f\tstop:%.4f\ttime:%.4f"
+                                  % (batch_idx, mt, mc, mi, mx, te))
+                            start = time.time()
+
+                    if not epoch_losses[split]["total"]:
+                        raise RuntimeError(
+                            f"no batches produced for split {split!r}")
+                    if split == "val" and cfg.smooth_curves:
+                        cur = float(np.mean(epoch_losses[split]["total"]))
+                        mt = cur if mt_val == -1 else 0.9 * mt_val + 0.1 * cur
+                        mt_val = mt
+                    else:
+                        mt = float(np.mean(epoch_losses[split]["total"]))
+                    mi = float(np.mean(epoch_losses[split]["iou"]))
+                    mc = float(np.mean(epoch_losses[split]["class"]))
+                    mx = float(np.mean(epoch_losses[split]["stop"]))
+                    cfg = self.cfg = cfg.replace(epoch_resume=ep)
+                    print("Epoch %d:\ttotal:%.4f\tclass:%.4f\tiou:%.4f\t"
+                          "stop:%.4f\t(%s)" % (e, mt, mc, mi, mx, split))
+
+                # best-val checkpointing
+                if mt < (best_val_loss - cfg.min_delta):
+                    print("Saving checkpoint.")
+                    best_val_loss = mt
+                    cfg = self.cfg = cfg.replace(best_val_loss=best_val_loss)
+                    save_checkpoint(cfg, state)
+                    acc_patience = 0
+                else:
+                    acc_patience += 1
+
+                # patience-driven escalation with best-checkpoint rollback
+                rollback = False
+                if (acc_patience > cfg.patience and not cfg.use_class_loss
+                        and cfg.class_loss_after != -1):
+                    print("Starting to learn class loss")
+                    acc_patience = 0
+                    cfg = self.cfg = cfg.replace(use_class_loss=True)
+                    best_val_loss = 1000.0
+                    mt_val = -1.0
+                    rollback = True
+                if (acc_patience > cfg.patience and cfg.curriculum_learning
+                        and cfg.limit_seqlen_to < cfg.maxseqlen):
+                    print("Adding one step more:")
+                    acc_patience = 0
+                    cfg = self.cfg = cfg.replace(
+                        limit_seqlen_to=cfg.limit_seqlen_to + cfg.steps_cl)
+                    print(cfg.limit_seqlen_to)
+                    best_val_loss = 1000.0
+                    mt_val = -1.0
+                if (acc_patience > cfg.patience and not cfg.update_encoder
+                        and cfg.finetune_after != -1):
+                    print("Starting to update encoder")
+                    acc_patience = 0
+                    cfg = self.cfg = cfg.replace(update_encoder=True)
+                    best_val_loss = 1000.0
+                    mt_val = -1.0
+                    rollback = True
+                if (acc_patience > cfg.patience and not cfg.use_stop_loss
+                        and cfg.stop_loss_after != -1):
+                    print("Starting to learn stop loss")
+                    if (not cfg.curriculum_learning
+                            or cfg.limit_seqlen_to > cfg.min_steps):
+                        acc_patience = 0
+                        cfg = self.cfg = cfg.replace(use_stop_loss=True)
+                        best_val_loss = 1000.0
+                        mt_val = -1.0
+                    rollback = True
+                if rollback and checkpoint_exists(cfg):
+                    state, _ = load_checkpoint(cfg, state)
+
+                if acc_patience > cfg.patience_stop:
+                    break
+        finally:
+            if log_fp is not None:
+                sys.stdout = sys.__stdout__
+                log_fp.close()
+        return state
+
+    def _to_device(self, imgs: np.ndarray, tgts: np.ndarray):
+        y_mask, y_class, sw_mask, sw_class = unpack_target(tgts)
+        batch = (imgs.astype(np.float32), y_mask.astype(np.float32),
+                 y_class.astype(np.int32), sw_mask.astype(np.float32),
+                 sw_class.astype(np.float32))
+        return shard_batch(self.mesh, batch)
+
+
+def train(cfg: Config) -> TrainState:
+    return Trainer(cfg).run()

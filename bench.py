@@ -1,0 +1,92 @@
+"""Benchmark: Cityscapes-style 512x1024 inference decode throughput.
+
+Measures steady-state images/sec of the flagship configuration (ResNet-101
+encoder, hidden 128, T=20 ConvLSTM decode — the canonical cityscapes run,
+reference: scripts/train_cityscapes.sh) at 512x1024 in bfloat16, end-to-end
+jitted (encoder + scanned decode + mask upsample + sigmoid).
+
+Measurement protocol: the timed loop runs *inside* one jitted
+``lax.fori_loop`` with a serial data dependency between iterations, and only
+a scalar checksum leaves the device — so neither per-dispatch latency nor
+host transfer of the (B, T, 512, 1024) mask tensor pollutes the number
+(the TPU here sits behind a network tunnel where those costs are large and
+unrepresentative of on-device throughput).
+
+Baseline: the reference repo publishes no throughput numbers (BASELINE.md);
+``vs_baseline`` is computed against an estimated 3.0 images/sec for the
+reference PyTorch-0.2 pipeline on its contemporaneous single GPU (~12 GB,
+README.md:113) at this geometry — the conservative estimate underlying the
+>=10x north-star target. Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+REFERENCE_IMAGES_PER_SEC_ESTIMATE = 3.0
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL", "") == "1"
+    if small:
+        jax.config.update("jax_platforms", "cpu")
+    from rsis_tpu.config import Config
+    from rsis_tpu.models.rsis import forward, init_variables
+
+    if small:  # quick CPU sanity mode
+        cfg = Config(base_model="tiny", hidden_size=32, num_classes=9,
+                     maxseqlen=3, compute_dtype="bfloat16")
+        h, w, batch, inner, outer = 64, 128, 2, 2, 2
+    else:
+        cfg = Config(base_model="resnet101", hidden_size=128, num_classes=9,
+                     maxseqlen=20, compute_dtype="bfloat16")
+        h, w, batch, inner, outer = 512, 1024, 8, 10, 3
+
+    rng = jax.random.PRNGKey(0)
+    variables = init_variables(cfg, rng, (h, w))
+
+    @jax.jit
+    def timed_loop(variables, x):
+        def body(i, acc):
+            # serial dependency: perturb the input by the running checksum
+            masks, clss, stops = forward(cfg, variables,
+                                         x + acc.astype(x.dtype) * 1e-6)
+            return acc + (masks[0, 0, 0, 0].astype(jnp.float32)
+                          + stops.mean().astype(jnp.float32))
+        return lax.fori_loop(0, inner, body, jnp.float32(0.0))
+
+    x = jax.random.normal(rng, (batch, h, w, 3), jnp.float32)
+    for attempt in range(3):  # back off batch size on OOM
+        try:
+            float(timed_loop(variables, x))  # compile + warmup
+            break
+        except Exception:
+            batch = max(1, batch // 2)
+            x = jax.random.normal(rng, (batch, h, w, 3), jnp.float32)
+            if attempt == 2:
+                raise
+
+    start = time.perf_counter()
+    for _ in range(outer):
+        float(timed_loop(variables, x))
+    elapsed = time.perf_counter() - start
+    images_per_sec = batch * inner * outer / elapsed
+
+    metric = ("bench_smoke_images_per_sec" if small
+              else "cityscapes_512x1024_decode_images_per_sec")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(
+            images_per_sec / REFERENCE_IMAGES_PER_SEC_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

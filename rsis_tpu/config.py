@@ -244,7 +244,7 @@ def get_parser() -> argparse.ArgumentParser:
 
     # model
     flag("-base_model", dest="base_model", default=d.base_model,
-         choices=["resnet101", "resnet50", "resnet34", "vgg16"])
+         choices=["resnet101", "resnet50", "resnet34", "vgg16", "tiny"])
     flag("-skip_mode", dest="skip_mode", default=d.skip_mode,
          choices=["sum", "concat", "mul", "none"])
     flag("-model_name", dest="model_name", default=d.model_name)

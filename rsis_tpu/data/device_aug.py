@@ -1,0 +1,137 @@
+"""Fused on-device augmentation: batched affine warp + flip in one jit.
+
+The geometric twin of augment.py (same center-origin inverse warp, clamped
+gather interpolation, R @ T @ Sh @ Z composition) expressed in jnp over a
+whole batch, so augmentation runs on the TPU fused into the input pipeline
+instead of per-sample on the host (BASELINE.json north star: "resize /
+normalize / flip augmentation ... as fused on-device image transforms").
+
+Masks use nearest interpolation, images follow ``interp``; one matrix per
+sample is drawn with jax.random so the whole thing lives inside the train
+step if desired.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_affine_matrices(rng: jax.Array, batch: int, h: int, w: int,
+                           rotation: float = 0.0, translation: float = 0.0,
+                           shear: float = 0.0,
+                           zoom_range: Tuple[float, float] | None = None
+                           ) -> jnp.ndarray:
+    """(B, 3, 3) fused matrices with the reference composition order."""
+    ks = jax.random.split(rng, 5)
+    deg = jax.random.uniform(ks[0], (batch,), minval=-rotation,
+                             maxval=rotation)
+    t = deg * (math.pi / 180.0)
+    cos, sin = jnp.cos(t), jnp.sin(t)
+    zero = jnp.zeros_like(t)
+    one = jnp.ones_like(t)
+    rot = jnp.stack([cos, -sin, zero, sin, cos, zero, zero, zero, one],
+                    -1).reshape(batch, 3, 3)
+
+    tx = jax.random.uniform(ks[1], (batch,), minval=-translation,
+                            maxval=translation) * h
+    ty = jax.random.uniform(ks[2], (batch,), minval=-translation,
+                            maxval=translation) * w
+    trans = jnp.stack([one, zero, tx, zero, one, ty, zero, zero, one],
+                      -1).reshape(batch, 3, 3)
+
+    sdeg = jax.random.uniform(ks[3], (batch,), minval=-shear, maxval=shear)
+    st = sdeg * (math.pi / 180.0)
+    sh = jnp.stack([one, -jnp.sin(st), zero, zero, jnp.cos(st), zero,
+                    zero, zero, one], -1).reshape(batch, 3, 3)
+
+    m = rot @ trans @ sh
+    if zoom_range is not None:
+        z = jax.random.uniform(ks[4], (batch, 2), minval=zoom_range[0],
+                               maxval=zoom_range[1])
+        zm = jnp.stack([z[:, 0], zero, zero, zero, z[:, 1], zero,
+                        zero, zero, one], -1).reshape(batch, 3, 3)
+        m = m @ zm
+    return m
+
+
+def _warp_one(img: jnp.ndarray, matrix: jnp.ndarray,
+              mode: str) -> jnp.ndarray:
+    """Warp (H, W, C) by one 3x3 matrix; center-origin inverse map."""
+    h, w, c = img.shape
+    a = matrix[:2, :2]
+    b = matrix[:2, 2]
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    coords = jnp.stack([rows - (h / 2.0 - 0.5),
+                        cols - (w / 2.0 - 0.5)], axis=-1).reshape(-1, 2)
+    new = coords @ a.T + b
+    nr = new[:, 0] + (h / 2.0 - 0.5)
+    nc = new[:, 1] + (w / 2.0 - 0.5)
+    flat = img.reshape(-1, c)
+    if mode == "nearest":
+        ri = jnp.clip(jnp.round(jnp.clip(nr, 0, h - 1)), 0,
+                      h - 1).astype(jnp.int32)
+        ci = jnp.clip(jnp.round(jnp.clip(nc, 0, w - 1)), 0,
+                      w - 1).astype(jnp.int32)
+        out = flat[ri * w + ci]
+    else:
+        r = jnp.clip(nr, 0, h - 2)
+        cc = jnp.clip(nc, 0, w - 2)
+        r0 = jnp.floor(r)
+        c0 = jnp.floor(cc)
+        rd = (r - r0)[:, None]
+        cd = (cc - c0)[:, None]
+        r0 = r0.astype(jnp.int32)
+        c0 = c0.astype(jnp.int32)
+        v00 = flat[r0 * w + c0]
+        v10 = flat[(r0 + 1) * w + c0]
+        v01 = flat[r0 * w + c0 + 1]
+        v11 = flat[(r0 + 1) * w + c0 + 1]
+        out = (v00 * (1 - rd) * (1 - cd) + v10 * rd * (1 - cd)
+               + v01 * (1 - rd) * cd + v11 * rd * cd)
+    return out.reshape(h, w, c).astype(img.dtype)
+
+
+def affine_warp_batch(imgs: jnp.ndarray, matrices: jnp.ndarray,
+                      mode: str = "bilinear") -> jnp.ndarray:
+    """(B, H, W, C) warped per-sample by (B, 3, 3) matrices."""
+    return jax.vmap(lambda im, m: _warp_one(im, m, mode))(imgs, matrices)
+
+
+def random_flip_batch(rng: jax.Array, imgs: jnp.ndarray,
+                      *mask_batches) -> tuple:
+    """Per-sample 50% horizontal flip applied consistently to image + masks."""
+    b = imgs.shape[0]
+    flip = jax.random.bernoulli(rng, 0.5, (b,))
+
+    def apply(x):
+        flipped = jnp.flip(x, axis=2)
+        shape = (b,) + (1,) * (x.ndim - 1)
+        return jnp.where(flip.reshape(shape), flipped, x)
+
+    return (apply(imgs),) + tuple(apply(m) for m in mask_batches)
+
+
+def augment_batch(rng: jax.Array, imgs: jnp.ndarray, ins: jnp.ndarray,
+                  seg: jnp.ndarray, rotation: float = 10.0,
+                  translation: float = 0.1, shear: float = 0.1,
+                  zoom_range=None, interp: str = "nearest"):
+    """Full on-device augmentation: flip + one fused affine per sample.
+
+    imgs: (B, H, W, 3) float; ins/seg: (B, H, W) integer maps.
+    """
+    b, h, w = imgs.shape[:3]
+    k_flip, k_aff = jax.random.split(rng)
+    imgs, ins, seg = random_flip_batch(k_flip, imgs, ins, seg)
+    ms = sample_affine_matrices(k_aff, b, h, w, rotation, translation,
+                                shear, zoom_range)
+    imgs = affine_warp_batch(imgs, ms, interp)
+    ins = affine_warp_batch(ins[..., None].astype(jnp.float32), ms,
+                            "nearest")[..., 0].astype(ins.dtype)
+    seg = affine_warp_batch(seg[..., None].astype(jnp.float32), ms,
+                            "nearest")[..., 0].astype(seg.dtype)
+    return imgs, ins, seg

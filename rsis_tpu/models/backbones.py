@@ -138,6 +138,30 @@ def resnet101(dtype=jnp.float32, **kw):
                       **kw)
 
 
+class TinyTaps(nn.Module):
+    """Minimal 5-scale trunk for tests and fast experimentation (not part of
+    the reference surface). Strides mirror the ResNet tap geometry:
+    x1 /2, x2 /4, x3 /8, x4 /16, x5 /32."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        widths = (16, 24, 32, 48, 64)
+        taps = []
+        for i, wd in enumerate(widths):
+            x = nn.Conv(wd, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)), dtype=self.dtype,
+                        name=f"conv{i}")(x)
+            x = nn.relu(x)
+            taps.append(x)
+        x1, x2, x3, x4, x5 = taps
+        return x5, x4, x3, x2, x1
+
+
+def tiny(dtype=jnp.float32, **kw):
+    return TinyTaps(dtype=dtype, **kw)
+
+
 _VGG16_PLAN = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
                512, 512, 512, "M", 512, 512, 512, "M")
 
@@ -170,6 +194,7 @@ def vgg16(dtype=jnp.float32, **kw):
 # channel widths of (x5..x1) per backbone
 # (reference: src/utils/utils.py:129-137 get_skip_dims)
 SKIP_DIMS = {
+    "tiny": (64, 48, 32, 24, 16),
     "resnet50": (2048, 1024, 512, 256, 64),
     "resnet101": (2048, 1024, 512, 256, 64),
     "resnet34": (512, 256, 128, 64, 64),
@@ -177,6 +202,7 @@ SKIP_DIMS = {
 }
 
 BACKBONES = {
+    "tiny": tiny,
     "resnet34": resnet34,
     "resnet50": resnet50,
     "resnet101": resnet101,

@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# canonical Cityscapes training run (reference: scripts/train_cityscapes.sh);
+# data parallelism comes from the device mesh (-num_devices) instead of -ngpus
+python -m rsis_tpu.cli.train -model_name=cityscapes -dataset=cityscapes \
+  -num_classes=9 --augment -maxseqlen=20 -gt_maxseqlen=20 -patience=25 \
+  -patience_stop=500 -max_epoch=10000 -class_loss_after=60 \
+  -base_model=resnet101 -stop_loss_after=100 -batch_size=32 \
+  --curriculum_learning -steps_cl=1 -finetune_after=20 -hidden_size=128 \
+  -min_steps=5 --log_term

@@ -3,11 +3,14 @@
 Multi-chip sharding logic is validated on virtual CPU devices
 (XLA_FLAGS=--xla_force_host_platform_device_count=8), an option the torch
 reference never had (SURVEY.md §4).
+
+Note: the environment pins JAX_PLATFORMS to a remote TPU plugin, so the
+env var alone is not enough — the platform must be forced through
+jax.config before any backend initialises.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests against the torch reference need true fp32 matmuls/convs;
-# the platform default is bf16-accumulated.
+# the TPU-tunnel default is bf16-accumulated.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, jax.devices()

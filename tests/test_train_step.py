@@ -15,7 +15,7 @@ from rsis_tpu.train import (
     merge_params)
 
 
-CFG = Config(dataset="synthetic", base_model="resnet34", hidden_size=32,
+CFG = Config(dataset="synthetic", base_model="tiny", hidden_size=32,
              num_classes=3, imsize=32, maxseqlen=4, gt_maxseqlen=6,
              batch_size=4, resize=True, lr=1e-3, lr_cnn=1e-4)
 

@@ -85,6 +85,7 @@ class Config:
     ngpus: int = 1                # kept for CLI compatibility
     num_devices: int = 0          # 0 = all visible devices (data-parallel mesh)
     compute_dtype: str = "float32"  # or "bfloat16"
+    pallas: str = "auto"          # fused inference kernels: auto|on|off
 
     # model
     base_model: str = "resnet101"
@@ -241,6 +242,8 @@ def get_parser() -> argparse.ArgumentParser:
     flag("-num_devices", dest="num_devices", type=int, default=d.num_devices)
     flag("-compute_dtype", dest="compute_dtype", default=d.compute_dtype,
          choices=["float32", "bfloat16"])
+    flag("-pallas", dest="pallas", default=d.pallas,
+         choices=["auto", "on", "off"])
 
     # model
     flag("-base_model", dest="base_model", default=d.base_model,

@@ -133,23 +133,50 @@ class Evaluator:
                 sample_idx = self.sample_list[s + acc]
                 ignore = self.ignoremasks.get(sample_idx)
                 h, w = self.native_size(sample_idx)
+                this_pred: List[dict] = []
                 for t in range(masks.shape[1]):
                     objectness = float(stops[s, t, 0])
                     if objectness < cfg.stop_th:
                         continue
-                    rle, is_valid, _ = resize_mask(cfg, masks[s, t], h, w,
-                                                   ignore)
+                    rle, is_valid, raw_rle = resize_mask(cfg, masks[s, t],
+                                                         h, w, ignore)
                     if not is_valid:
                         continue
+                    max_class = (1 if cfg.class_th == 0.0
+                                 else int(out_classes[s, t]))
                     for cls_id in range(1, len(self.class_names)):
                         score = float(clss[s, t, cls_id]) * objectness
                         ann = create_annotation(sample_idx, rle, cls_id,
                                                 score, self.class_names)
                         if ann is not None:
+                            # display keeps only the max-confidence class,
+                            # with the raw (un-ignored) mask
+                            # (reference: src/eval.py:330-339)
+                            if (cls_id == max_class
+                                    and score >= cfg.class_th):
+                                this_pred.append(create_annotation(
+                                    sample_idx, raw_rle, cls_id, score,
+                                    self.class_names))
                             predictions.append(ann)
-                del out_classes
+                if cfg.display and this_pred:
+                    self._render_overlay(sample_idx, this_pred)
             acc += masks.shape[0]
         return predictions
+
+    def _render_overlay(self, sample_idx, anns) -> None:
+        from ..train.checkpoint import model_dir
+        from .visualize import display_masks
+        cfg = self.cfg
+        raw = self.dataset.get_raw_sample(
+            self.sample_list.index(sample_idx))
+        figs_dir = os.path.join(
+            model_dir(cfg),
+            f"{cfg.model_name}_figs_{cfg.eval_split}")
+        name = os.path.basename(str(sample_idx)).split(".")[0]
+        display_masks(np.asarray(raw[0]), anns,
+                      os.path.join(figs_dir, name + ".png"),
+                      no_display_text=cfg.no_display_text,
+                      display_route=cfg.display_route)
 
     def run_eval(self):
         cfg = self.cfg

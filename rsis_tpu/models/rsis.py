@@ -107,8 +107,17 @@ def forward(cfg: Config, variables, x: jnp.ndarray, T: int | None = None):
                 "batch_stats": variables.get("batch_stats", {}).get(
                     "encoder", {})}
     skips = encoder.apply(enc_vars, x, train=False)
-    masks, clss, stops, _ = decode_sequence(
-        decoder, variables["params"]["decoder"], skips, T, train=False)
+
+    from .fast_decoder import decode_sequence_fused, fused_path_available
+    use_fused = (cfg.pallas == "on"
+                 or (cfg.pallas == "auto" and fused_path_available(cfg)))
+    if use_fused:
+        masks, clss, stops = decode_sequence_fused(
+            variables["params"]["decoder"], skips, T, cfg.hidden_size,
+            cfg.skip_mode, dtype=compute_dtype(cfg))
+    else:
+        masks, clss, stops, _ = decode_sequence(
+            decoder, variables["params"]["decoder"], skips, T, train=False)
     h, w = x.shape[1], x.shape[2]
     masks = upsample_bilinear_align_corners(masks, h, w)[..., 0]
     return jax.nn.sigmoid(masks), clss, jax.nn.sigmoid(stops)

@@ -39,17 +39,26 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 def upsample_bilinear_align_corners(x: jnp.ndarray, out_h: int,
                                     out_w: int) -> jnp.ndarray:
-    """Resize (..., H, W, C) to (..., out_h, out_w, C), align_corners=True."""
+    """Resize (..., H, W, C) to (..., out_h, out_w, C), align_corners=True.
+
+    Precision policy: float32 inputs interpolate with exact fp32 matmuls
+    (the PyTorch parity budget, <=1e-3 IoU delta per BASELINE.md, does not
+    survive bf16-rounded weights); bfloat16 inputs — the throughput path —
+    use the MXU's native bf16 multiply with fp32 accumulation, which is
+    plenty for 2-tap interpolation weights.
+    """
     h, w = x.shape[-3], x.shape[-2]
     if (h, w) == (out_h, out_w):
         return x
-    rm = jnp.asarray(_interp_matrix(h, out_h))
-    cm = jnp.asarray(_interp_matrix(w, out_w))
     dtype = x.dtype
-    x = x.astype(jnp.float32)
-    # fp32 accumulation: the interpolation weights are exact fp32 and the
-    # PyTorch parity budget (<=1e-3 IoU delta, BASELINE.md) does not survive
-    # bf16-rounded weights.
-    x = jnp.einsum("oh,...hwc->...owc", rm, x, precision="highest")
-    x = jnp.einsum("pw,...owc->...opc", cm, x, precision="highest")
+    exact = dtype == jnp.float32
+    precision = "highest" if exact else None
+    rm = jnp.asarray(_interp_matrix(h, out_h), dtype=jnp.float32 if exact
+                     else dtype)
+    cm = jnp.asarray(_interp_matrix(w, out_w), dtype=jnp.float32 if exact
+                     else dtype)
+    x = jnp.einsum("oh,...hwc->...owc", rm, x, precision=precision,
+                   preferred_element_type=jnp.float32)
+    x = jnp.einsum("pw,...owc->...opc", cm, x, precision=precision,
+                   preferred_element_type=jnp.float32)
     return x.astype(dtype)

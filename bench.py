@@ -45,10 +45,12 @@ def main():
     else:
         cfg = Config(base_model="resnet101", hidden_size=128, num_classes=9,
                      maxseqlen=20, compute_dtype="bfloat16")
-        h, w, batch, inner, outer = 512, 1024, 8, 10, 3
+        h, w, batch, inner, outer = 512, 1024, 16, 10, 3
 
     rng = jax.random.PRNGKey(0)
-    variables = init_variables(cfg, rng, (h, w))
+    # param shapes are spatial-independent: init at a small geometry to
+    # avoid compiling full-resolution initializers
+    variables = init_variables(cfg, rng, (64, 128))
 
     @jax.jit
     def timed_loop(variables, x):

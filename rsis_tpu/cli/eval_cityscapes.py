@@ -21,8 +21,20 @@ def main(argv=None):
                                   eval_split=cfg.eval_split)
     results_dir = os.path.join(model_dir(cfg), cfg.model_name + "_results")
     print("Creating annotations for cityscapes validation...")
-    written = CityscapesExporter(model_cfg, variables).export(results_dir)
+    exporter = CityscapesExporter(model_cfg, variables)
+    written = exporter.export(results_dir)
     print(f"wrote {len(written)} result files to {results_dir}")
+
+    # built-in instance AP (the reference defers to external
+    # cityscapesScripts; rsis_tpu scores the export directly)
+    gt_files = getattr(exporter.dataset, "ins_files", [])
+    if gt_files and all(os.path.exists(f) for f in gt_files[:1]):
+        from ..evals.cityscapes_ap import evaluate_exported
+        txt_names = [os.path.basename(p) for p in written]
+        res = evaluate_exported(results_dir, gt_files[:len(txt_names)],
+                                txt_names)
+        print("allAp: %.4f  allAp50%%: %.4f" % (res["allAp"],
+                                                res["allAp50%"]))
 
 
 if __name__ == "__main__":

@@ -1,5 +1,6 @@
 """Evaluation layer: inference forward, COCO eval, exporters, CVPPP metrics."""
 
+from .cityscapes_ap import evaluate_exported, evaluate_images  # noqa: F401
 from .coco import COCO  # noqa: F401
 from .cocoeval import COCOeval  # noqa: F401
 from .cvppp import (  # noqa: F401

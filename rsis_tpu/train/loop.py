@@ -29,6 +29,7 @@ from ..config import Config
 from ..data import DataLoader, get_dataset, unpack_target
 from ..models.rsis import init_variables
 from ..parallel.mesh import create_mesh, shard_batch
+from ..utils.monitor import Monitor
 from .checkpoint import (
     checkpoint_exists, load_checkpoint, model_dir, save_checkpoint)
 from .step import StepFlags, TrainState, create_train_state, make_train_step
@@ -115,6 +116,9 @@ class Trainer:
             cfg = self.cfg = cfg.replace(limit_seqlen_to=2)
 
         loaders, class_names = init_dataloaders(cfg)
+        # metrics.jsonl + optional mask snapshots: the visdom-dashboard
+        # analogue (reference: src/train.py:294-297,366-395)
+        monitor = Monitor(model_dir(cfg), enable_snapshots=cfg.visdom)
 
         best_val_loss = cfg.best_val_loss
         acc_patience = 0
@@ -173,6 +177,8 @@ class Trainer:
                         epoch_losses[split]["iou"].append(float(m[1]))
                         epoch_losses[split]["stop"].append(float(m[2]))
                         epoch_losses[split]["class"].append(float(m[3]))
+                        monitor.log(split, ep, batch_idx, m[0], m[1],
+                                    m[2], m[3], T=T)
 
                         if (batch_idx + 1) % cfg.print_every == 0:
                             mt = np.mean(epoch_losses[split]["total"])
@@ -254,6 +260,7 @@ class Trainer:
                 if acc_patience > cfg.patience_stop:
                     break
         finally:
+            monitor.close()
             if log_fp is not None:
                 sys.stdout = sys.__stdout__
                 log_fp.close()

@@ -57,3 +57,19 @@ def plot_curves(model_name: str, models_root: str = "../models",
     fig.savefig(out, bbox_inches="tight")
     plt.close(fig)
     return out
+
+
+def main(argv=None):
+    """CLI mirroring the reference plot_curves.py."""
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("-model_name", dest="model_name", default="model")
+    p.add_argument("-models_root", dest="models_root", default="../models")
+    p.add_argument("-log_file", dest="log_file", default="train.log")
+    args = p.parse_args(argv)
+    out = plot_curves(args.model_name, args.models_root, args.log_file)
+    print("Saved:", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,7 @@ def main():
     else:
         cfg = Config(base_model="resnet101", hidden_size=128, num_classes=9,
                      maxseqlen=20, compute_dtype="bfloat16")
-        h, w, batch, inner, outer = 512, 1024, 16, 10, 3
+        h, w, batch, inner, outer = 512, 1024, 32, 6, 3
 
     rng = jax.random.PRNGKey(0)
     # param shapes are spatial-independent: init at a small geometry to

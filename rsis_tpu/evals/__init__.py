@@ -13,3 +13,4 @@ from .cvppp import (  # noqa: F401
 from .evaluator import Evaluator, create_coco_object, resize_mask  # noqa: F401
 from .exporters import CityscapesExporter, LeavesExporter  # noqa: F401
 from .forward import make_forward, run_forward  # noqa: F401
+from .streaming import make_streaming_forward, spatial_mesh  # noqa: F401

@@ -28,6 +28,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# persistent compilation cache: repeat bench runs skip the multi-minute
+# remote compile when the runtime supports it
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
+
 REFERENCE_IMAGES_PER_SEC_ESTIMATE = 3.0
 
 

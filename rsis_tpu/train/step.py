@@ -103,18 +103,38 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
     needs_rng = train and (decoder.dropout > 0 or decoder.dropout_stop > 0
                            or decoder.dropout_cls > 0)
 
-    def step(carry, t):
-        rngs = ({"dropout": jax.random.fold_in(rng, t)}
-                if needs_rng else None)
-        (mask, cls, stop), new_carry = decoder.apply(
-            {"params": params["decoder"]}, skips, carry, train=train,
-            rngs=rngs)
-        mask = upsample_bilinear_align_corners(mask, h, w)
-        mask_flat = mask.reshape(mask.shape[0], -1).astype(jnp.float32)
-        # cost of this prediction against every GT instance: (B, N)
-        cost_col = soft_iou_cost(y_mask, mask_flat[:, None, :])
-        return new_carry, (mask_flat, cls.astype(jnp.float32),
-                           stop[:, 0].astype(jnp.float32), cost_col)
+    # the hoisted fast decode (skip-conv terms computed once before the
+    # scan, fused mask head) is exact math and fully differentiable, so it
+    # also serves the training step whenever no dropout rng is needed and
+    # the skip fusion is channel-separable; see models/fast_decoder.py
+    use_fast = (cfg.pallas != "off" and not needs_rng
+                and cfg.skip_mode in ("concat", "sum", "none"))
+    if use_fast:
+        from ..models.fast_decoder import _hoist_cells, fast_decoder_step
+        cells = _hoist_cells(params["decoder"], skips, cfg.hidden_size,
+                             cfg.skip_mode)
+
+        def step(carry, t):
+            (mask, cls, stop), new_carry = fast_decoder_step(
+                params["decoder"], cells, skips, carry)
+            mask = upsample_bilinear_align_corners(mask, h, w)
+            mask_flat = mask.reshape(mask.shape[0], -1).astype(jnp.float32)
+            cost_col = soft_iou_cost(y_mask, mask_flat[:, None, :])
+            return new_carry, (mask_flat, cls.astype(jnp.float32),
+                               stop[:, 0].astype(jnp.float32), cost_col)
+    else:
+        def step(carry, t):
+            rngs = ({"dropout": jax.random.fold_in(rng, t)}
+                    if needs_rng else None)
+            (mask, cls, stop), new_carry = decoder.apply(
+                {"params": params["decoder"]}, skips, carry, train=train,
+                rngs=rngs)
+            mask = upsample_bilinear_align_corners(mask, h, w)
+            mask_flat = mask.reshape(mask.shape[0], -1).astype(jnp.float32)
+            # cost of this prediction against every GT instance: (B, N)
+            cost_col = soft_iou_cost(y_mask, mask_flat[:, None, :])
+            return new_carry, (mask_flat, cls.astype(jnp.float32),
+                               stop[:, 0].astype(jnp.float32), cost_col)
 
     if remat:
         step = jax.checkpoint(step)

@@ -112,7 +112,8 @@ class InstanceDataset:
 
     def __init__(self, cfg, split: str = "train", augment: bool = False,
                  imsize: int = 256, resize: bool = False,
-                 crop: bool = False, seed: int = 0):
+                 crop: bool = False, seed: int = 0,
+                 wire_dtype: str = "float32"):
         self.cfg = cfg
         self.split = split
         self.imsize = imsize
@@ -120,6 +121,10 @@ class InstanceDataset:
         self.crop = crop
         self.flip = augment
         self.max_seq_len = cfg.gt_maxseqlen
+        # "uint8": raw resized pixels + uint8 packed targets cross the
+        # host->device boundary (4x less transfer) and normalization /
+        # unpacking runs on device (train/step.decode_batch)
+        self.wire_dtype = wire_dtype
         self.rng = np.random.default_rng(seed)
         if augment:
             zoom = (None if (not resize and cfg.dataset != "pascal")
@@ -152,7 +157,9 @@ class InstanceDataset:
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         img, ins, seg = self.get_raw_sample(index)
         img = resize_image(img, self.imsize, square=self.resize)
-        img = normalize_image(np.asarray(img, dtype=np.uint8))
+        raw_u8 = np.asarray(img, dtype=np.uint8)
+        img = (raw_u8 if self.wire_dtype == "uint8"
+               else normalize_image(raw_u8))
         h, w = img.shape[:2]
 
         ins = resize_masks_nearest(np.asarray(ins), h, w)
@@ -169,4 +176,8 @@ class InstanceDataset:
 
         target = sequence_from_masks(ins.astype(np.int64),
                                      seg.astype(np.int64), self.max_seq_len)
-        return np.moveaxis(img_chw, 0, -1).astype(np.float32), target
+        out_img = np.moveaxis(img_chw, 0, -1)
+        if self.wire_dtype == "uint8":
+            assert target[:, -3].max() <= 255, "class id exceeds uint8 wire"
+            return out_img.astype(np.uint8), target.astype(np.uint8)
+        return out_img.astype(np.float32), target

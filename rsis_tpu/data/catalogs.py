@@ -191,8 +191,10 @@ DATASETS = {
 
 
 def get_dataset(cfg, split: str, augment: bool = False,
-                imsize: int | None = None):
+                imsize: int | None = None, wire_dtype: str = "float32"):
     """Dataset factory (reference: src/dataloader/dataset_utils.py:7-24)."""
     cls = DATASETS[cfg.dataset]
-    return cls(cfg, split=split, augment=augment,
-               imsize=imsize or cfg.imsize, resize=cfg.resize, seed=cfg.seed)
+    ds = cls(cfg, split=split, augment=augment,
+             imsize=imsize or cfg.imsize, resize=cfg.resize, seed=cfg.seed)
+    ds.wire_dtype = wire_dtype
+    return ds

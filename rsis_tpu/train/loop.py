@@ -26,7 +26,7 @@ import jax
 import numpy as np
 
 from ..config import Config
-from ..data import DataLoader, get_dataset, unpack_target
+from ..data import DataLoader, get_dataset
 from ..models.rsis import init_variables
 from ..parallel.mesh import create_mesh, shard_batch
 from ..utils.monitor import Monitor
@@ -40,7 +40,8 @@ def init_dataloaders(cfg: Config):
     class_names = None
     for split in ["train", "val"]:
         ds = get_dataset(cfg, split=split,
-                         augment=cfg.augment and split == "train")
+                         augment=cfg.augment and split == "train",
+                         wire_dtype="uint8")
         loaders[split] = DataLoader(ds, batch_size=cfg.batch_size,
                                     shuffle=True, drop_last=True,
                                     num_workers=cfg.num_workers,
@@ -163,8 +164,8 @@ class Trainer:
 
                 mt = mi = mc = mx = 0.0
                 for split in ["train", "val"]:
-                    for batch_idx, (imgs, tgts) in enumerate(loaders[split]):
-                        batch = self._to_device(imgs, tgts)
+                    for batch_idx, batch in enumerate(
+                            self._device_prefetch(loaders[split])):
                         self.rng, step_rng = jax.random.split(self.rng)
                         if split == "train":
                             state, metrics = train_step(state, batch, flags,
@@ -266,12 +267,19 @@ class Trainer:
                 log_fp.close()
         return state
 
-    def _to_device(self, imgs: np.ndarray, tgts: np.ndarray):
-        y_mask, y_class, sw_mask, sw_class = unpack_target(tgts)
-        batch = (imgs.astype(np.float32), y_mask.astype(np.float32),
-                 y_class.astype(np.int32), sw_mask.astype(np.float32),
-                 sw_class.astype(np.float32))
-        return shard_batch(self.mesh, batch)
+    def _device_prefetch(self, loader, depth: int = 2):
+        """Overlap host->device transfer with compute: keep ``depth``
+        batches in flight (device_put is async). Batches travel in the
+        uint8 wire format and are decoded on device
+        (train/step.decode_batch)."""
+        import collections
+        pending = collections.deque()
+        for imgs, tgts in loader:
+            pending.append(shard_batch(self.mesh, (imgs, tgts)))
+            if len(pending) > depth:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()
 
 
 def train(cfg: Config) -> TrainState:

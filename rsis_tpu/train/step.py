@@ -177,6 +177,36 @@ def _losses(cfg: Config, masks, clss, stops, costs, y_mask, y_class,
     return total, (loss_iou, loss_stop, loss_class)
 
 
+def decode_batch(cfg: Config, batch):
+    """Device-side batch decode: uint8 wire format -> training tensors.
+
+    Batches cross the host->device boundary as (image_u8 (B,H,W,3),
+    packed_target_u8 (B,N,HW+3)) — 4x less transfer than fp32 — and are
+    normalized/unpacked on device (the fused on-device preprocessing the
+    north star asks for; the reference normalizes per-sample on the host,
+    reference: src/train.py:34-37, src/utils/utils.py:113-127). Float
+    inputs pass through unchanged for backward compatibility.
+    """
+    if isinstance(batch, tuple) and len(batch) == 5:
+        x, y_mask, y_class, sw_mask, sw_class = batch
+        x = x.astype(compute_dtype(cfg))
+        return x, y_mask, y_class, sw_mask, sw_class
+    img_u8, target = batch
+    dtype = compute_dtype(cfg)
+    if img_u8.dtype == jnp.uint8:
+        mean = jnp.asarray([0.485, 0.456, 0.406], dtype)
+        std = jnp.asarray([0.229, 0.224, 0.225], dtype)
+        x = (img_u8.astype(dtype) / 255.0 - mean) / std
+    else:
+        x = img_u8.astype(dtype)
+    target = target.astype(jnp.float32)
+    y_mask = target[:, :, :-3]
+    y_class = target[:, :, -3].astype(jnp.int32)
+    sw_mask = target[:, :, -2]
+    sw_class = target[:, :, -1]
+    return x, y_mask, y_class, sw_mask, sw_class
+
+
 def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
                     donate: bool = True, remat: bool = True):
     """Build the jitted train step for a fixed decode length T.
@@ -192,8 +222,7 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
     T = T or cfg.maxseqlen
 
     def loss_fn(params, batch_stats, batch, flags, rng):
-        x, y_mask, y_class, sw_mask, sw_class = batch
-        x = x.astype(compute_dtype(cfg))
+        x, y_mask, y_class, sw_mask, sw_class = decode_batch(cfg, batch)
         masks, clss, stops, costs, new_stats = _forward_with_costs(
             cfg, encoder, decoder, params, batch_stats, x, y_mask, T,
             train=True, rng=rng, remat=remat)
@@ -229,8 +258,7 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
         return new_state, metrics
 
     def eval_step(state: TrainState, batch, flags: StepFlags, rng):
-        x, y_mask, y_class, sw_mask, sw_class = batch
-        x = x.astype(compute_dtype(cfg))
+        x, y_mask, y_class, sw_mask, sw_class = decode_batch(cfg, batch)
         masks, clss, stops, costs, _ = _forward_with_costs(
             cfg, encoder, decoder, state.params, state.batch_stats, x,
             y_mask, T, train=False, rng=rng, remat=False)
@@ -242,15 +270,35 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
     if mesh is not None:
         bsh = batch_sharding(mesh)
         rep = replicated(mesh)
-        train_step = jax.jit(
-            train_step,
-            in_shardings=(rep, (bsh,) * 5, rep, rep),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,) if donate else ())
-        eval_step = jax.jit(
-            eval_step,
-            in_shardings=(rep, (bsh,) * 5, rep, rep),
-            out_shardings=rep)
+        batch_sh = jax.tree.map(lambda _: bsh, (0, 0))
+
+        def _jit_with_batch(fn, out_sh, don):
+            return jax.jit(
+                fn,
+                in_shardings=(rep, batch_sh, rep, rep),
+                out_shardings=out_sh,
+                donate_argnums=(0,) if don else ())
+
+        train5 = jax.jit(train_step,
+                         in_shardings=(rep, (bsh,) * 5, rep, rep),
+                         out_shardings=(rep, rep),
+                         donate_argnums=(0,) if donate else ())
+        eval5 = jax.jit(eval_step,
+                        in_shardings=(rep, (bsh,) * 5, rep, rep),
+                        out_shardings=rep)
+        train2 = _jit_with_batch(train_step, (rep, rep), donate)
+        eval2 = _jit_with_batch(eval_step, rep, False)
+
+        def train_dispatch(state, batch, flags, rng):
+            return (train2 if len(batch) == 2 else train5)(
+                state, batch, flags, rng)
+
+        def eval_dispatch(state, batch, flags, rng):
+            return (eval2 if len(batch) == 2 else eval5)(
+                state, batch, flags, rng)
+
+        train_step = train_dispatch
+        eval_step = eval_dispatch
     else:
         train_step = jax.jit(train_step,
                              donate_argnums=(0,) if donate else ())

@@ -167,3 +167,60 @@ def random_crop(arrays, crop_hw, rng: np.random.Generator):
 def horizontal_flip(arrays):
     """Flip a list of (..., H, W) arrays along W."""
     return [np.ascontiguousarray(np.flip(a, axis=-1)) for a in arrays]
+
+
+class _FixedAffine:
+    """Base for single-transform wrappers (reference transforms.py API)."""
+
+    def __init__(self, matrix: np.ndarray, interp: str = "bilinear"):
+        self.matrix = matrix
+        self.interp = interp
+
+    def __call__(self, *arrays):
+        outs = [affine_warp(a, self.matrix, self.interp) for a in arrays]
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+class Rotate(_FixedAffine):
+    def __init__(self, degrees: float, interp: str = "bilinear"):
+        super().__init__(rotation_matrix(degrees), interp)
+
+
+class Translate(_FixedAffine):
+    def __init__(self, height_frac: float, width_frac: float,
+                 interp: str = "bilinear"):
+        # fractions resolve against the first input's size at call time
+        self.fracs = (height_frac, width_frac)
+        self.interp = interp
+
+    def __call__(self, *arrays):
+        h, w = arrays[0].shape[-2:]
+        self.matrix = translation_matrix(self.fracs[0] * h,
+                                         self.fracs[1] * w)
+        return super().__call__(*arrays)
+
+
+class Shear(_FixedAffine):
+    def __init__(self, degrees: float, interp: str = "bilinear"):
+        super().__init__(shear_matrix(degrees), interp)
+
+
+class Zoom(_FixedAffine):
+    def __init__(self, zx: float, zy: float | None = None,
+                 interp: str = "bilinear"):
+        super().__init__(zoom_matrix(zx, zy if zy is not None else zx),
+                         interp)
+
+
+class RandomChoiceRotate:
+    """Rotate by a value drawn from a list (reference RandomChoiceRotate)."""
+
+    def __init__(self, values, interp: str = "bilinear",
+                 rng: np.random.Generator | None = None):
+        self.values = list(values)
+        self.interp = interp
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, *arrays):
+        deg = self.values[int(self.rng.integers(len(self.values)))]
+        return Rotate(deg, self.interp)(*arrays)

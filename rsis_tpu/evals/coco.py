@@ -153,6 +153,21 @@ class COCO:
         res.createIndex()
         return res
 
+    def info(self):
+        for k, v in self.dataset.get("info", {}).items():
+            print(f"{k}: {v}")
+
+    def loadNumpyAnnotations(self, data):
+        """Nx7 ndarray -> list of result dicts (bbox format)."""
+        assert data.shape[1] == 7
+        out = []
+        for row in data:
+            out.append({"image_id": int(row[0]),
+                        "bbox": [row[1], row[2], row[3], row[4]],
+                        "score": float(row[5]),
+                        "category_id": int(row[6])})
+        return out
+
     def annToRLE(self, ann):
         """Convert polygon / uncompressed RLE / RLE annotation to RLE."""
         img = self.imgs[ann["image_id"]]

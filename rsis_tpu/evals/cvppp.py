@@ -63,3 +63,8 @@ def evaluate_batch(pred_labels, gt_labels):
     return {"SBD": float(np.mean(sbds)) if sbds else 0.0,
             "absDiC": float(np.mean(dics)) if dics else 0.0,
             "n": len(sbds)}
+
+
+def fgbg_dice(in_label: np.ndarray, gt_label: np.ndarray) -> float:
+    """Foreground/background Dice (reference: src/CVPPP/FGBGDice.m)."""
+    return dice_score(in_label > 0, gt_label > 0)

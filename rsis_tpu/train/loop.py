@@ -208,6 +208,10 @@ class Trainer:
                     print("Epoch %d:\ttotal:%.4f\tclass:%.4f\tiou:%.4f\t"
                           "stop:%.4f\t(%s)" % (e, mt, mc, mi, mx, split))
 
+                if cfg.visdom:
+                    self._epoch_snapshot(monitor, cfg, state, loaders, ep,
+                                         class_names, T)
+
                 # best-val checkpointing
                 if mt < (best_val_loss - cfg.min_delta):
                     print("Saving checkpoint.")
@@ -266,6 +270,34 @@ class Trainer:
                 sys.stdout = sys.__stdout__
                 log_fp.close()
         return state
+
+    def _epoch_snapshot(self, monitor, cfg, state, loaders, epoch,
+                        class_names, T):
+        """Render predicted-vs-GT mask grids for one val sample (the
+        visdom heatmap analogue, reference: src/train.py:366-395)."""
+        try:
+            from ..data.base import unpack_target
+            from ..evals.forward import run_forward
+            imgs, tgts = next(iter(loaders["val"]))
+            if imgs.dtype == np.uint8:
+                from ..data.base import normalize_image
+                x = np.stack([normalize_image(im) for im in imgs])
+            else:
+                x = imgs.astype(np.float32)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            masks, clss, stops = run_forward(cfg, variables, x[:1], T=T)
+            y_mask, y_class, _, _ = unpack_target(
+                tgts[:1].astype(np.float32))
+            h, w = x.shape[1], x.shape[2]
+            monitor.snapshot(
+                epoch, masks[0],
+                y_mask[0, :T].reshape(-1, h, w),
+                pred_classes=np.argmax(clss[0], -1),
+                true_classes=y_class[0, :T],
+                class_names=class_names)
+        except Exception as e:  # snapshots must never kill training
+            print(f"snapshot failed: {e}")
 
     def _device_prefetch(self, loader, depth: int = 2):
         """Overlap host->device transfer with compute: keep ``depth``

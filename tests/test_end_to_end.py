@@ -104,3 +104,37 @@ class TestEndToEnd:
         res = evaluate_batch(list(preds.values()), gts)
         assert 0.0 <= res["SBD"] <= 1.0
         assert res["n"] == 4
+
+
+class TestTransfer:
+    def test_transfer_swaps_class_head(self, cfg, monkeypatch):
+        import jax
+        from rsis_tpu.data import catalogs
+        from rsis_tpu.train.loop import Trainer
+
+        orig = catalogs.SyntheticBlobs.__init__
+
+        def small_init(self, c, **kw):
+            kw["length"] = 8
+            orig(self, c, **kw)
+
+        monkeypatch.setattr(catalogs.SyntheticBlobs, "__init__", small_init)
+
+        # train the source model (dataset "synthetic")
+        src_cfg = cfg.replace(model_name="src", max_epoch=1)
+        Trainer(src_cfg).run()
+
+        # transfer to a new "dataset" with a different class count
+        dst_cfg = cfg.replace(model_name="dst", transfer=True,
+                              transfer_from="src", num_classes=5,
+                              max_epoch=1, dataset="synthetic")
+        # force a dataset-name mismatch so fc_class is swapped
+        import rsis_tpu.train.loop as looper
+        from rsis_tpu.config import Config as Cfg
+        saved = Cfg.load(f"{cfg.models_root}/src/args.json")
+        saved = saved.replace(dataset="leaves")
+        saved.save(f"{cfg.models_root}/src/args.json")
+
+        state = Trainer(dst_cfg).run()
+        fc = jax.device_get(state.params["decoder"]["fc_class"]["kernel"])
+        assert fc.shape[-1] == 5

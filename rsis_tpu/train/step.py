@@ -25,7 +25,6 @@ replicated; XLA inserts the gradient psum over ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional
 
 import flax.struct

@@ -74,7 +74,13 @@ class COCOeval:
             for ann in dts:
                 ann["_rle"] = self.cocoDt.annToRLE(ann)
         for gt in gts:
-            gt["ignore"] = gt.get("ignore", 0) or gt.get("iscrowd", 0)
+            # reference deviation from stock pycocotools: iscrowd does NOT
+            # imply ignore — only an explicit 'ignore' field does (the
+            # reference deliberately commented out the iscrowd line,
+            # src/coco/PythonAPI/pycocotools/cocoeval.py:94-95; its Pascal
+            # GT pkls carry explicit ignore annotations instead). Crowd GTs
+            # still get crowd *matching* semantics via computeIoU.
+            gt["ignore"] = gt.get("ignore", 0)
         self._gts = defaultdict(list)
         self._dts = defaultdict(list)
         for gt in gts:
@@ -300,7 +306,11 @@ class COCOeval:
         toc = time.time()
         print(f"DONE (t={toc - tic:0.2f}s).")
 
-    def summarize(self):
+    def summarize(self, style="coco12"):
+        """Compute summary stats. style="coco12" is the standard pycocotools
+        12-number table (the published val2014_fake_eval_res.txt contract);
+        style="rsis13" reproduces the reference's customized 13-stat layout
+        (reference src/coco/PythonAPI/pycocotools/cocoeval.py:453-468)."""
         def _summarize(ap=1, iouThr=None, areaRng="all", maxDets=100):
             p = self.params
             iStr = (" {:<18} {} @[ IoU={:<9} | area={:>6s} | "
@@ -334,6 +344,26 @@ class COCOeval:
         if not self.eval:
             raise RuntimeError("Please run accumulate() first")
         p = self.params
+        if style == "rsis13":
+            # the reference's vendored cocoeval customizes _summarizeDets to
+            # a 13-stat layout (AP at IoU .5/.6/.7/.75/.8, AR at .5/.7/.85;
+            # reference src/coco/PythonAPI/pycocotools/cocoeval.py:453-468)
+            stats = np.zeros((13,))
+            stats[0] = _summarize(1)
+            stats[1] = _summarize(1, iouThr=0.5, maxDets=p.maxDets[2])
+            stats[2] = _summarize(1, iouThr=0.6, maxDets=p.maxDets[2])
+            stats[3] = _summarize(1, iouThr=0.7, maxDets=p.maxDets[2])
+            stats[4] = _summarize(1, iouThr=0.75, maxDets=p.maxDets[2])
+            stats[5] = _summarize(1, iouThr=0.8, maxDets=p.maxDets[2])
+            stats[6] = _summarize(1, maxDets=p.maxDets[1])
+            stats[7] = _summarize(0, maxDets=p.maxDets[1])
+            stats[8] = _summarize(1, iouThr=0.5, maxDets=p.maxDets[0])
+            stats[9] = _summarize(1, iouThr=0.5, maxDets=p.maxDets[1])
+            stats[10] = _summarize(0, iouThr=0.5, maxDets=p.maxDets[1])
+            stats[11] = _summarize(0, iouThr=0.7, maxDets=p.maxDets[1])
+            stats[12] = _summarize(0, iouThr=0.85, maxDets=p.maxDets[1])
+            self.stats = stats
+            return
         stats = np.zeros((12,))
         stats[0] = _summarize(1, maxDets=p.maxDets[2])
         stats[1] = _summarize(1, iouThr=0.5, maxDets=p.maxDets[2])

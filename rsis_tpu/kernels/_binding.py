@@ -233,6 +233,8 @@ def to_string(cnts: np.ndarray) -> bytes:
 
 
 def from_string(s: bytes, h: int, w: int) -> np.ndarray:
-    out = np.empty(h * w + 2, dtype=np.uint32)
+    # every run consumes >=1 char, so len(s) bounds the run count even when
+    # the caller passes degenerate h/w (h*w+2 alone under-allocates then)
+    out = np.empty(max(h * w, len(s)) + 2, dtype=np.uint32)
     m = _load().rsis_rle_from_string(s, h, w, _as_u32p(out))
     return out[:int(m)].copy()

@@ -78,10 +78,13 @@ def iou(dt, gt, pyiscrowd) -> np.ndarray:
     crowd = np.asarray(pyiscrowd, dtype=np.uint8)
 
     def is_bb(x):
+        # empty lists carry no type evidence: defer to the other operand
+        # (pycocotools semantics — dt and gt are always the same kind)
         return isinstance(x, np.ndarray) or (
-            len(x) > 0 and isinstance(x[0], (list, tuple))
-            and len(x[0]) == 4)
+            len(x) > 0 and not isinstance(x[0], dict))
 
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)), dtype=np.float64)
     if is_bb(dt) and is_bb(gt):
         return _b.bb_iou(np.asarray(dt, dtype=np.float64),
                          np.asarray(gt, dtype=np.float64), crowd)

@@ -444,14 +444,17 @@ void rsis_bb_nms(const double* bb, u64 n, double thr, u32* keep) {
 }
 
 // ---- compressed string codec ----------------------------------------------
-// 6-bit varint delta codec: counts[i] stored as delta vs counts[i-2], each
-// value split into 6-bit groups (low first), chars offset by 48, bit 0x20 as
-// the continuation flag. This is the on-disk/JSON interchange format.
+// 6-bit varint delta codec: counts[i] stored as-is for the first three runs
+// and as a delta vs counts[i-2] from i==3 onward (pycocotools convention —
+// the asymmetric i>2 start index is required for byte compatibility with
+// every COCO JSON in the wild). Each value is split into 5-bit groups (low
+// first), chars offset by 48, bit 0x20 as the continuation flag. This is
+// the on-disk/JSON interchange format.
 u64 rsis_rle_to_string(const u32* cnts, u64 m, char* out) {
   u64 p = 0;
   for (u64 i = 0; i < m; ++i) {
     long long x = static_cast<long long>(cnts[i]);
-    if (i > 1) x -= static_cast<long long>(cnts[i - 2]);
+    if (i > 2) x -= static_cast<long long>(cnts[i - 2]);
     bool more = true;
     while (more) {
       long long c = x & 0x1f;
@@ -480,7 +483,7 @@ u64 rsis_rle_from_string(const char* s, u64 /*h*/, u64 /*w*/, u32* out_cnts) {
       ++k;
       if (!more && (c & 0x10)) x |= -1LL << (5 * k);
     }
-    if (m > 1) x += static_cast<long long>(out_cnts[m - 2]);
+    if (m > 2) x += static_cast<long long>(out_cnts[m - 2]);
     out_cnts[m++] = static_cast<u32>(x);
   }
   return m;

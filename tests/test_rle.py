@@ -155,6 +155,95 @@ def test_string_codec_known_value():
     assert rle["counts"] == b"01"
 
 
+# ---- pycocotools byte-compatibility oracle ---------------------------------
+# Independent pure-Python transcription of the interchange SPEC (reference
+# src/coco/common/maskApi.c:203-230): LEB128-style 5-bit groups, chars 48-111,
+# delta vs counts[i-2] applied only from run index 3 (i>2) onward. The
+# asymmetric start index is load-bearing: getting it wrong round-trips
+# internally but corrupts every real COCO JSON with >=4 runs.
+
+def _spec_encode(cnts):
+    out = bytearray()
+    for i, c in enumerate(cnts):
+        x = int(c) - (int(cnts[i - 2]) if i > 2 else 0)
+        more = True
+        while more:
+            g = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (g & 0x10) else (x != 0)
+            if more:
+                g |= 0x20
+            out.append(g + 48)
+    return bytes(out)
+
+
+def _spec_decode(s):
+    cnts, p = [], 0
+    while p < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = s[p] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            p += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(cnts) > 2:
+            x += cnts[-2]
+        cnts.append(x)
+    return np.asarray(cnts, dtype=np.uint32)
+
+
+def test_string_codec_matches_spec_oracle(rng):
+    # random count vectors of every small length (the i>2 boundary needs
+    # >=4 runs to be reached) plus large counts to exercise multi-char groups
+    for trial in range(200):
+        m = int(rng.integers(1, 12))
+        cnts = rng.integers(0, 1 << int(rng.integers(3, 20)),
+                            size=m).astype(np.uint32)
+        want = _spec_encode(cnts)
+        got = rb.to_string(cnts)
+        assert got == want, (cnts, got, want)
+        np.testing.assert_array_equal(rb.from_string(want, 0, 0), cnts)
+        np.testing.assert_array_equal(_spec_decode(got), cnts)
+
+
+def test_string_codec_golden_bytes():
+    # hand-verified through the upstream algorithm: counts [1,2,3,4,5] ->
+    # deltas [1,2,3,4-2,5-3] = [1,2,3,2,2] -> single 5-bit groups -> "12322"
+    cnts = np.array([1, 2, 3, 4, 5], dtype=np.uint32)
+    assert rb.to_string(cnts) == b"12322"
+    np.testing.assert_array_equal(rb.from_string(b"12322", 0, 0), cnts)
+
+
+def test_string_codec_real_pycocotools_fixture():
+    # every segmentation string in the reference's fake-results fixture was
+    # produced by genuine pycocotools; decode -> re-encode must be
+    # byte-identical and the counts must tile the full image
+    # (reference src/coco/results/instances_val2014_fakesegm100_results.json)
+    import json
+    import os
+
+    path = ("/root/reference/src/coco/results/"
+            "instances_val2014_fakesegm100_results.json")
+    if not os.path.exists(path):
+        pytest.skip("reference fixture not available")
+    anns = json.load(open(path))
+    assert len(anns) > 700
+    checked_long = 0
+    for ann in anns:
+        seg = ann["segmentation"]
+        h, w = seg["size"]
+        s = seg["counts"].encode("ascii")
+        cnts = rb.from_string(s, h, w)
+        assert int(cnts.sum()) == h * w, ann["image_id"]
+        assert rb.to_string(cnts) == s
+        if len(cnts) >= 4:
+            checked_long += 1
+    assert checked_long > 700  # the i>2 boundary was genuinely exercised
+
+
 def test_frbbox(rng):
     bb = np.array([[2, 3, 4, 5]], dtype=np.float64)
     rles = rmask.frBbox(bb, 12, 10)

@@ -18,18 +18,23 @@ from ..train.step import create_train_state
 
 
 def load_eval_variables(cfg: Config):
-    """Rebuild the model from the pickled train config + checkpoint
-    (reference: src/eval.py:233-246)."""
+    """Rebuild the model from the pickled train config + checkpoint.
+
+    Reference precedence (src/eval.py:233-246): the saved train args define
+    ONLY the model architecture; every runtime choice (dataset dirs,
+    thresholds, display, maxseqlen, batch size) comes from the eval
+    invocation. Returns (eval_cfg, variables)."""
     saved = Config.load(os.path.join(model_dir(cfg), "args.json"))
-    model_cfg = saved.replace(eval_split=cfg.eval_split,
-                              models_root=cfg.models_root,
-                              model_name=cfg.model_name,
-                              batch_size=cfg.batch_size)
-    variables = init_variables(model_cfg, jax.random.PRNGKey(cfg.seed))
-    template = create_train_state(model_cfg, variables)
+    eval_cfg = cfg.replace(
+        base_model=saved.base_model, hidden_size=saved.hidden_size,
+        kernel_size=saved.kernel_size, skip_mode=saved.skip_mode,
+        num_classes=saved.num_classes, compute_dtype=saved.compute_dtype,
+        dropout=0.0, dropout_stop=0.0, dropout_cls=0.0)
+    variables = init_variables(eval_cfg, jax.random.PRNGKey(cfg.seed))
+    template = create_train_state(eval_cfg, variables)
     state, _ = load_checkpoint(cfg, template)
-    return model_cfg, {"params": state.params,
-                       "batch_stats": state.batch_stats}
+    return eval_cfg, {"params": state.params,
+                      "batch_stats": state.batch_stats}
 
 
 def main(argv=None):
@@ -41,12 +46,7 @@ def main(argv=None):
         log_path = os.path.join(model_dir(cfg), "eval.log")
         print("Eval logs will be saved to:", log_path)
         sys.stdout = open(log_path, "w")
-    model_cfg, variables = load_eval_variables(cfg)
-    eval_cfg = model_cfg.replace(
-        mask_th=cfg.mask_th, stop_th=cfg.stop_th, class_th=cfg.class_th,
-        max_dets=cfg.max_dets, min_size=cfg.min_size, cat_id=cfg.cat_id,
-        use_cats=cfg.use_cats, all_classes=cfg.all_classes,
-        no_run_coco_eval=cfg.no_run_coco_eval, eval_split=cfg.eval_split)
+    eval_cfg, variables = load_eval_variables(cfg)
     ev = Evaluator(eval_cfg, variables)
     print("Dataset is %s" % eval_cfg.dataset)
     print("Split is %s" % eval_cfg.eval_split)

@@ -20,10 +20,9 @@ from .eval import load_eval_variables
 def main(argv=None):
     jax.config.update("jax_default_matmul_precision", "highest")
     cfg = config_from_args(argv)
+    # eval-invocation args already take precedence (arch fields come
+    # from the saved train config inside load_eval_variables)
     model_cfg, variables = load_eval_variables(cfg)
-    model_cfg = model_cfg.replace(mask_th=cfg.mask_th,
-                                  class_th=cfg.class_th,
-                                  eval_split=cfg.eval_split)
     results_dir = os.path.join(model_dir(cfg), cfg.model_name + "_results")
     print("Creating annotations for leaves validation...")
     exporter = LeavesExporter(model_cfg, variables)

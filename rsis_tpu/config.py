@@ -124,9 +124,9 @@ class Config:
     all_classes: bool = False
     no_run_coco_eval: bool = False
     display_route: bool = False
-    use_gt_cats: bool = False
-    use_gt_masks: bool = False
-    use_gt_stop: bool = False
+    # note: the reference's args.py:154-156 also defines use_gt_cats/
+    # use_gt_masks/use_gt_stop defaults, but nothing in the reference (or
+    # here) ever reads them — dropped rather than carried as silent no-ops.
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -90,6 +90,11 @@ class Evaluator:
                                  shuffle=False, drop_last=False,
                                  num_workers=cfg.num_workers)
         self.sample_list = self.dataset.get_sample_list()
+        # O(1) name->index lookups and a native-size cache: one raw-image
+        # read per sample per eval, instead of list.index() + re-opening in
+        # both run_eval and create_annotations
+        self._sample_index = {n: i for i, n in enumerate(self.sample_list)}
+        self._native_sizes: Dict = {}
         self.class_names = self.dataset.get_classes()
         self.forward = make_forward(cfg)
 
@@ -111,12 +116,13 @@ class Evaluator:
                             seg)
 
     def native_size(self, sample_idx) -> tuple:
-        """Native (h, w) of the original image for annotation geometry."""
-        raw = self.dataset.get_raw_sample(
-            self.sample_list.index(sample_idx))
-        img = raw[0]
-        w, h = img.size
-        return h, w
+        """Native (h, w) of the original image for annotation geometry
+        (cached; one raw read per sample per eval)."""
+        if sample_idx not in self._native_sizes:
+            raw = self.dataset.get_raw_sample(self._sample_index[sample_idx])
+            w, h = raw[0].size
+            self._native_sizes[sample_idx] = (h, w)
+        return self._native_sizes[sample_idx]
 
     def create_annotations(self) -> List[dict]:
         cfg = self.cfg
@@ -167,8 +173,7 @@ class Evaluator:
         from ..train.checkpoint import model_dir
         from .visualize import display_masks
         cfg = self.cfg
-        raw = self.dataset.get_raw_sample(
-            self.sample_list.index(sample_idx))
+        raw = self.dataset.get_raw_sample(self._sample_index[sample_idx])
         figs_dir = os.path.join(
             model_dir(cfg),
             f"{cfg.model_name}_figs_{cfg.eval_split}")
@@ -180,11 +185,7 @@ class Evaluator:
 
     def run_eval(self):
         cfg = self.cfg
-        sizes = {}
-        for i, name in enumerate(self.sample_list):
-            img = self.dataset.get_raw_sample(i)[0]
-            w, h = img.size
-            sizes[name] = (h, w)
+        sizes = {name: self.native_size(name) for name in self.sample_list}
         coco_shell = create_coco_object(cfg, self.sample_list,
                                         self.class_names, sizes)
         if self.gt_anns is None:

@@ -205,8 +205,11 @@ class Trainer:
                     mc = float(np.mean(epoch_losses[split]["class"]))
                     mx = float(np.mean(epoch_losses[split]["stop"]))
                     cfg = self.cfg = cfg.replace(epoch_resume=ep)
+                    # ep (absolute epoch incl. resume offset), not the loop-local
+                    # index: after a resume the plot_curves grammar must not
+                    # restart at 0 and overlap the old curve
                     print("Epoch %d:\ttotal:%.4f\tclass:%.4f\tiou:%.4f\t"
-                          "stop:%.4f\t(%s)" % (e, mt, mc, mi, mx, split))
+                          "stop:%.4f\t(%s)" % (ep, mt, mc, mi, mx, split))
 
                 if cfg.visdom:
                     self._epoch_snapshot(monitor, cfg, state, loaders, ep,

@@ -67,6 +67,17 @@ class TestEndToEnd:
                         jax.tree.leaves(jax.device_get(state.params))):
             assert a.shape == np.asarray(b).shape
 
+        # resumed training must continue the absolute epoch numbering in
+        # the parseable log grammar (not restart at 0 and overlap the old
+        # curve in plot_curves)
+        Trainer(cfg.replace(resume=True, max_epoch=1)).run()
+        out2 = capsys.readouterr().out
+        resumed_epochs = sorted({
+            int(ln.split(":")[0].split()[1]) for ln in out2.splitlines()
+            if ln.startswith("Epoch") and ":" in ln.split()[1] + ":"
+            and "\t" in ln})
+        assert resumed_epochs and min(resumed_epochs) >= 1, out2
+
         # inference forward on the trained weights
         variables = {"params": restored.params,
                      "batch_stats": restored.batch_stats}

@@ -38,6 +38,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays onto the mesh, batch-sharded."""
+    """Place a pytree of host arrays onto the mesh, batch-sharded.
+
+    The global batch must divide evenly over the data axis; an uneven batch
+    is an explicit error rather than silent padding (pad rows would leak
+    into batch-norm statistics and the stop-loss balance weight even with
+    zero sample weights — the loaders use drop_last instead, see
+    train/loop.py).
+    """
+    n = mesh.shape["data"]
+    for leaf in jax.tree.leaves(batch):
+        if leaf.shape[0] % n != 0:
+            raise ValueError(
+                f"global batch {leaf.shape[0]} not divisible by data-axis "
+                f"size {n}; use a divisible batch size (loaders drop_last)")
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -133,3 +133,62 @@ class TestDataParallel:
         d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                          s1.params["decoder"], s2.params["decoder"])
         assert max(jax.tree.leaves(d)) < 2e-4
+
+    def test_8dev_gradient_psum_matches_single_device(self):
+        """Gradient psum correctness at full mesh width: the raw gradient
+        of the full loss (batch 8 sharded over 8 devices, encoder included,
+        realistic T) must equal the single-device gradient on the identical
+        global batch up to f32 reduction-order noise. Gradients are the
+        object the collective computes — params-after-Adam would amplify
+        reduction noise through m/sqrt(v) for near-zero gradients."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rsis_tpu.models.rsis import build_models
+        from rsis_tpu.train.step import (_forward_with_costs, _losses,
+                                         decode_batch)
+
+        cfg = CFG.replace(batch_size=8, maxseqlen=5, gt_maxseqlen=7)
+        variables = init_variables(cfg, jax.random.PRNGKey(2))
+        state = create_train_state(cfg, variables)
+        batch = make_batch(cfg, n=8, seed=3)
+        flags = StepFlags(jnp.float32(1), jnp.float32(1), jnp.float32(1))
+        rng = jax.random.PRNGKey(10)
+        encoder, decoder = build_models(cfg)
+
+        def loss_fn(params, batch_stats, batch, flags, rng):
+            x, y_mask, y_class, sw_mask, sw_class = decode_batch(cfg, batch)
+            masks, clss, stops, costs, _ = _forward_with_costs(
+                cfg, encoder, decoder, params, batch_stats, x, y_mask,
+                cfg.maxseqlen, train=True, rng=rng, remat=False)
+            total, _ = _losses(cfg, masks, clss, stops, costs, y_mask,
+                               y_class, sw_mask, sw_class, flags)
+            return total
+
+        grad_fn = jax.grad(loss_fn)
+        g_single = jax.jit(grad_fn)(state.params, state.batch_stats,
+                                    batch, flags, rng)
+
+        mesh = create_mesh(8)
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("data"))
+        g_mesh = jax.jit(
+            grad_fn,
+            in_shardings=(rep, rep, (bsh,) * 5, rep, rep),
+            out_shardings=rep)(
+                state.params, state.batch_stats, shard_batch(mesh, batch),
+                flags, rng)
+
+        for (path, a), b in zip(jax.tree.leaves_with_path(g_single),
+                                jax.tree.leaves(g_mesh)):
+            a, b = np.asarray(a), np.asarray(b)
+            # 1e-7 absolute floor: gradients that cancel to ~1e-9 are pure
+            # f32 reduction-order noise in both orderings
+            scale = np.abs(a).max() + 1e-10
+            assert np.abs(a - b).max() < 1e-4 * scale + 1e-7, (
+                jax.tree_util.keystr(path), np.abs(a - b).max(), scale)
+
+    def test_uneven_batch_rejected(self):
+        mesh = create_mesh(4)
+        bad = (np.zeros((6, 8, 8, 3), np.float32),)
+        with pytest.raises(ValueError, match="not divisible"):
+            shard_batch(mesh, bad)
+

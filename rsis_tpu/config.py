@@ -75,6 +75,10 @@ class Config:
 
     # augmentation
     augment: bool = False
+    # flip + fused affine run inside the jitted train step on device
+    # (zero host-side warp work); set False to fall back to the host
+    # per-sample path (data/base.py), e.g. for parity debugging
+    augment_on_device: bool = True
     rotation: int = 10
     translation: float = 0.1
     shear: float = 0.1
@@ -231,6 +235,8 @@ def get_parser() -> argparse.ArgumentParser:
 
     # augmentation
     flag("--augment", dest="augment", action="store_true", default=d.augment)
+    flag("--host_augment", dest="augment_on_device", action="store_false",
+         default=d.augment_on_device)
     flag("-rotation", dest="rotation", type=int, default=d.rotation)
     flag("-translation", dest="translation", type=float, default=d.translation)
     flag("-shear", dest="shear", type=float, default=d.shear)

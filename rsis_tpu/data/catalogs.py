@@ -145,9 +145,10 @@ class SyntheticBlobs(InstanceDataset):
 
     def __init__(self, cfg, split="train", augment=False, imsize=64,
                  resize=True, seed=0, length=16, num_classes=None,
-                 max_instances=4):
+                 max_instances=4, wire_dtype="float32"):
         super().__init__(cfg, split=split, augment=augment, imsize=imsize,
-                         resize=resize, crop=False, seed=seed)
+                         resize=resize, crop=False, seed=seed,
+                         wire_dtype=wire_dtype)
         n_cls = num_classes or cfg.num_classes
         self.classes = ["<eos>"] + [f"class{i}" for i in range(1, n_cls)]
         self.image_files = [f"synthetic_{split}_{i:04d}" for i in range(length)]

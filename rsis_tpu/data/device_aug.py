@@ -116,6 +116,69 @@ def random_flip_batch(rng: jax.Array, imgs: jnp.ndarray,
     return (apply(imgs),) + tuple(apply(m) for m in mask_batches)
 
 
+def _nearest_index_map(matrix: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """(H*W,) flat source indices for a nearest-neighbour inverse warp —
+    one gather map per sample serves the image and every packed mask."""
+    a = matrix[:2, :2]
+    b = matrix[:2, 2]
+    rows = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    coords = jnp.stack([rows - (h / 2.0 - 0.5),
+                        cols - (w / 2.0 - 0.5)], axis=-1).reshape(-1, 2)
+    new = coords @ a.T + b
+    ri = jnp.clip(jnp.round(new[:, 0] + (h / 2.0 - 0.5)), 0,
+                  h - 1).astype(jnp.int32)
+    ci = jnp.clip(jnp.round(new[:, 1] + (w / 2.0 - 0.5)), 0,
+                  w - 1).astype(jnp.int32)
+    return ri * w + ci
+
+
+def zoom_range_for(cfg) -> Tuple[float, float] | None:
+    """The dataset-dependent zoom range of the host pipeline
+    (data/base.py InstanceDataset.__init__), shared by the device path."""
+    if not cfg.resize and cfg.dataset != "pascal":
+        return None
+    if cfg.dataset == "pascal":
+        return (cfg.zoom, max(cfg.zoom * 2, 1.0))
+    return (cfg.zoom, 1.0)
+
+
+def augment_wire_batch(rng: jax.Array, x: jnp.ndarray, y_mask: jnp.ndarray,
+                       rotation: float, translation: float, shear: float,
+                       zoom_range: Tuple[float, float] | None):
+    """On-device train-batch augmentation: per-sample 50% flip + one fused
+    affine, applied consistently to images (B, H, W, 3) and the packed
+    instance masks (B, N, H*W) the wire format carries.
+
+    Geometric twin of the host path (data/base.py:169-175): flip first,
+    then the fused R @ T @ Sh @ Z inverse warp with nearest interpolation
+    (the host pipeline warps images with nearest too, matching the
+    reference's transform engine, src/dataloader/transforms/transforms.py).
+    Nearest sampling is a gather, so it commutes with both the per-instance
+    binarization of the packed masks and the mean/std normalization of the
+    image — warping after packing/normalizing equals the host's
+    warp-then-pack order, except that instances warped fully out of frame
+    keep their (now all-zero) slot instead of being re-sorted out.
+    """
+    b, h, w = x.shape[:3]
+    n = y_mask.shape[1]
+    k_flip, k_aff = jax.random.split(rng)
+
+    masks = y_mask.reshape(b, n, h, w)
+    flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+    x = jnp.where(flip[:, None, None, None], jnp.flip(x, axis=2), x)
+    masks = jnp.where(flip[:, None, None, None], jnp.flip(masks, axis=3),
+                      masks)
+
+    ms = sample_affine_matrices(k_aff, b, h, w, rotation, translation,
+                                shear, zoom_range)
+    idx = jax.vmap(lambda m: _nearest_index_map(m, h, w))(ms)  # (B, H*W)
+    x = jax.vmap(lambda im, ix: im.reshape(h * w, -1)[ix])(x, idx)
+    x = x.reshape(b, h, w, -1)
+    masks = jax.vmap(lambda mk, ix: mk.reshape(n, h * w)[:, ix])(masks, idx)
+    return x, masks
+
+
 def augment_batch(rng: jax.Array, imgs: jnp.ndarray, ins: jnp.ndarray,
                   seg: jnp.ndarray, rotation: float = 10.0,
                   translation: float = 0.1, shear: float = 0.1,

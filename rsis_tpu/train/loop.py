@@ -39,8 +39,11 @@ def init_dataloaders(cfg: Config):
     loaders = {}
     class_names = None
     for split in ["train", "val"]:
-        ds = get_dataset(cfg, split=split,
-                         augment=cfg.augment and split == "train",
+        # with on-device augmentation the host pipeline only resizes and
+        # packs — flip/affine happen inside the jitted train step
+        host_augment = (cfg.augment and split == "train"
+                        and not cfg.augment_on_device)
+        ds = get_dataset(cfg, split=split, augment=host_augment,
                          wire_dtype="uint8")
         loaders[split] = DataLoader(ds, batch_size=cfg.batch_size,
                                     shuffle=True, drop_last=True,

@@ -222,6 +222,15 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
 
     def loss_fn(params, batch_stats, batch, flags, rng):
         x, y_mask, y_class, sw_mask, sw_class = decode_batch(cfg, batch)
+        if cfg.augment and cfg.augment_on_device:
+            # flip + fused affine on device, fused into the train program
+            # (reference does this per-sample on the host,
+            # src/dataloader/transforms/transforms.py:91-102)
+            from ..data.device_aug import augment_wire_batch, zoom_range_for
+            rng, k_aug = jax.random.split(rng)
+            x, y_mask = augment_wire_batch(
+                k_aug, x, y_mask, cfg.rotation, cfg.translation, cfg.shear,
+                zoom_range_for(cfg))
         masks, clss, stops, costs, new_stats = _forward_with_costs(
             cfg, encoder, decoder, params, batch_stats, x, y_mask, T,
             train=True, rng=rng, remat=remat)

@@ -7,8 +7,10 @@ import jax.numpy as jnp
 from rsis_tpu.data.augment import (
     affine_warp, rotation_matrix, shear_matrix, translation_matrix,
     zoom_matrix)
+from rsis_tpu.data.base import sequence_from_masks, unpack_target
 from rsis_tpu.data.device_aug import (
-    affine_warp_batch, augment_batch, random_flip_batch)
+    _nearest_index_map, affine_warp_batch, augment_batch, augment_wire_batch,
+    random_flip_batch, sample_affine_matrices)
 
 
 class TestDeviceWarpMatchesHost:
@@ -62,3 +64,88 @@ class TestFlipAndFullAug:
         assert set(np.unique(np.asarray(out_ins))) <= {0, 2}
         np.testing.assert_array_equal(np.asarray(out_ins > 0),
                                       np.asarray(out_seg > 0))
+
+
+class TestWireBatchAugment:
+    """The on-device wire-path augmentation (inside the jitted train step)
+    must reproduce the host path's warp-then-pack result for the same
+    matrix and flip decision (VERDICT round 1 item 6)."""
+
+    def _instance_scene(self, h=40, w=48):
+        ins = np.zeros((h, w), np.int64)
+        seg = np.zeros((h, w), np.int64)
+        ins[8:16, 10:20] = 1
+        seg[8:16, 10:20] = 2
+        ins[22:34, 26:40] = 2
+        seg[22:34, 26:40] = 1
+        img = np.random.default_rng(0).normal(
+            size=(h, w, 3)).astype(np.float32)
+        return img, ins, seg
+
+    def test_wire_warp_equals_host_warp_then_pack(self):
+        img, ins, seg = self._instance_scene()
+        h, w = ins.shape
+        n = 4
+        # one fixed, modest matrix (blobs stay in frame, area order stable)
+        m = (rotation_matrix(7.0) @ translation_matrix(2.0, -3.0)
+             @ shear_matrix(3.0))
+
+        # host path: warp raw tensors per-sample, then pack
+        img_chw = np.moveaxis(img, -1, 0)
+        img_h = affine_warp(img_chw, m, mode="nearest")
+        ins_h = affine_warp(ins[None].astype(np.float64), m,
+                            mode="nearest")[0].astype(np.int64)
+        seg_h = affine_warp(seg[None].astype(np.float64), m,
+                            mode="nearest")[0].astype(np.int64)
+        target_h = sequence_from_masks(ins_h, seg_h, n)
+        y_mask_h, _, _, _ = unpack_target(target_h[None])
+
+        # device path: pack first, then warp image + packed masks with the
+        # same matrix through the wire-batch augmenter's gather map
+        target_d = sequence_from_masks(ins, seg, n)
+        y_mask_d, _, _, _ = unpack_target(target_d[None])
+        idx = np.asarray(_nearest_index_map(jnp.asarray(m, jnp.float32),
+                                            h, w))
+        x_d = img.reshape(h * w, 3)[idx].reshape(h, w, 3)
+        masks_d = np.asarray(y_mask_d[0])[:, idx]
+
+        np.testing.assert_allclose(x_d, np.moveaxis(img_h, 0, -1),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(masks_d, y_mask_h[0])
+
+    def test_augment_wire_batch_consistency(self):
+        """Image and masks move together; weights/classes are untouched;
+        identity config (0 ranges, no zoom) + unlucky flip still possible,
+        so check structural invariants over a real random draw."""
+        img, ins, seg = self._instance_scene()
+        h, w = ins.shape
+        n = 4
+        target = sequence_from_masks(ins, seg, n)
+        y_mask, _, _, _ = unpack_target(target[None])
+        x = jnp.asarray(np.stack([img, img]))
+        masks = jnp.asarray(np.stack([y_mask[0], y_mask[0]]))
+
+        fn = jax.jit(lambda k, x, mk: augment_wire_batch(
+            k, x, mk, rotation=10.0, translation=0.1, shear=5.0,
+            zoom_range=None))
+        x2, m2 = fn(jax.random.PRNGKey(3), x, masks)
+        assert x2.shape == x.shape and m2.shape == masks.shape
+        m2 = np.asarray(m2)
+        # masks stay binary and instances survive a modest warp
+        assert set(np.unique(m2)) <= {0.0, 1.0}
+        assert (m2.reshape(2, n, -1).sum(-1)[:, :2] > 0).all()
+        # the two samples got independent transforms (w.h.p.)
+        assert not np.array_equal(m2[0], m2[1])
+
+    def test_zero_ranges_noop_geometry(self):
+        """rotation=translation=shear=0, no zoom: the affine is the
+        identity gather; only the random flip can change anything."""
+        img, ins, seg = self._instance_scene()
+        h, w = ins.shape
+        m = np.asarray(sample_affine_matrices(
+            jax.random.PRNGKey(0), 3, h, w, 0.0, 0.0, 0.0, None))
+        np.testing.assert_allclose(m, np.broadcast_to(np.eye(3), (3, 3, 3)),
+                                   atol=1e-7)
+        idx = np.asarray(_nearest_index_map(jnp.asarray(np.eye(3),
+                                                        jnp.float32), h, w))
+        np.testing.assert_array_equal(idx, np.arange(h * w))

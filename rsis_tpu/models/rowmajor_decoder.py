@@ -1,0 +1,177 @@
+"""Pallas-accelerated inference decode loop in the (B, H, C, W) layout.
+
+The third decode implementation (after models/decoder.py — flax reference —
+and models/fast_decoder.py — pure-XLA with hoisted skip convs), and the
+fastest on TPU: each ConvLSTM cell step is ONE fused Pallas kernel
+(ops/pallas_decode.py) operating on row-major (B, H, C, W) tensors whose
+HBM tiles are compact (XLA's channels-minor layout lane-pads C=8..32 to
+128 and inflates decode HBM traffic ~16x at the finest cells — measured
+~5.1 ms/step for the XLA cell4 composition vs ~0.5 ms for the fused
+kernel at the bench geometry).
+
+Math per step mirrors the reference decoder exactly
+(reference: src/modules/model.py:122-184):
+  - skip contributions are scan-constant and hoisted into S terms exactly
+    like fast_decoder._hoist_cells (same channel-split identity);
+  - inter-cell upsampling is align-corners bilinear expressed as the same
+    interpolation matmuls as ops/upsample.py, einsum'd in row-major;
+  - the mask head reuses ops/mask_head.mask_head_fused on a per-step
+    transposed view of the finest hidden state.
+
+Equivalence vs the flax decoder is tested in tests/test_rowmajor_decoder.py
+(interpret mode on the CPU mesh) and the TPU path is exercised by bench.py.
+Inference-only: training keeps the flax path for autodiff.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.mask_head import mask_head_fused
+from ..ops.pallas_decode import (fused_cell_rowmajor, pack_cell_weights,
+                                 pad_hcw)
+from ..ops.upsample import _interp_matrix
+from .decoder import decoder_widths, init_carry
+from .fast_decoder import _conv2d
+
+
+def _to_rowmajor(x_nhwc: jnp.ndarray) -> jnp.ndarray:
+    return jnp.moveaxis(x_nhwc, -1, 2)
+
+
+def _hoist_cells_rowmajor(dec_params: dict, skips: Sequence[jnp.ndarray],
+                          hidden_size: int, skip_mode: str):
+    """Per-cell (packed weight, S term, cx) with S in row-major layout.
+
+    Same channel-split identity as fast_decoder._hoist_cells: the gate conv
+    over concat(up, skip, h) splits into conv_x(up) + conv_s(skip) +
+    conv_h(h), and conv_s(skip) + bias is constant across the scan."""
+    widths = decoder_widths(hidden_size)
+    cells = []
+    for i in range(len(widths)):
+        gates = dec_params[f"clstm{i}"]["gates"]
+        kernel, bias = gates["kernel"], gates["bias"]
+        ch = widths[i]
+        if i == 0:
+            cs = skips[0].shape[-1]
+            ks, kh = kernel[:, :, :cs], kernel[:, :, cs:]
+            s_term = _conv2d(skips[0], ks, bias)
+            step_kernel = kh
+            cx = 0
+        else:
+            cp = widths[i - 1]
+            if skip_mode == "concat":
+                cs = skips[i].shape[-1]
+                kx = kernel[:, :, :cp]
+                ks = kernel[:, :, cp:cp + cs]
+                kh = kernel[:, :, cp + cs:]
+                s_term = _conv2d(skips[i], ks, bias)
+            elif skip_mode == "sum":
+                kx = kernel[:, :, :cp]
+                kh = kernel[:, :, cp:]
+                s_term = _conv2d(skips[i], kx, bias)
+            elif skip_mode == "none":
+                kx = kernel[:, :, :cp]
+                kh = kernel[:, :, cp:]
+                b_ = bias.astype(skips[i].dtype)
+                s_term = jnp.broadcast_to(
+                    b_, skips[i].shape[:3] + (4 * ch,))
+            else:
+                raise ValueError(
+                    f"skip_mode {skip_mode!r} is not channel-separable")
+            step_kernel = jnp.concatenate([kx, kh], axis=2)
+            cx = cp
+        wt = pack_cell_weights(step_kernel, cx, ch,
+                               dtype=s_term.dtype)
+        cells.append({"wt": wt, "s": _to_rowmajor(s_term), "cx": cx,
+                      "ch": ch})
+    return cells
+
+
+def _upsample_rowmajor(x: jnp.ndarray, out_h: int, out_w: int
+                       ) -> jnp.ndarray:
+    """(B, H, C, W) -> (B, out_h, C, out_w), align-corners bilinear via the
+    same interpolation matrices as ops/upsample.py."""
+    b, h, c, w = x.shape
+    dtype = x.dtype
+    rm = jnp.asarray(_interp_matrix(h, out_h), dtype)
+    cm = jnp.asarray(_interp_matrix(w, out_w), dtype)
+    x = jnp.einsum("oh,bhcw->bocw", rm, x,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    x = jnp.einsum("bocw,pw->bocp", x, cm,
+                   preferred_element_type=jnp.float32).astype(dtype)
+    return x
+
+
+def rowmajor_decoder_step(dec_params: dict, cells, carry,
+                          interpret: bool = False):
+    """One decode step; carry is a tuple of (h, c) in (B, H, C, W)."""
+    n = len(cells)
+    side_feats = []
+    new_carry = []
+    up_h = None
+    h = None
+    for i in range(n):
+        h_prev, c_prev = carry[i]
+        x_pad = None
+        if i > 0:
+            up_h = _upsample_rowmajor(h, h_prev.shape[1], h_prev.shape[3])
+            x_pad = pad_hcw(up_h)
+        h, c = fused_cell_rowmajor(
+            pad_hcw(h_prev), x_pad, c_prev, cells[i]["s"], cells[i]["wt"],
+            cx=cells[i]["cx"], ch=cells[i]["ch"], interpret=interpret)
+        new_carry.append((h, c))
+        side_feats.append(jnp.max(h, axis=(1, 3)))
+
+    h_nhwc = jnp.moveaxis(h, 2, -1)
+    mask_logits = mask_head_fused(h_nhwc, dec_params["conv_out"]["kernel"],
+                                  dec_params["conv_out"]["bias"])
+
+    feats = jnp.concatenate(side_feats, axis=-1)
+    fc_c = dec_params["fc_class"]
+    class_logits = feats @ fc_c["kernel"].astype(feats.dtype) \
+        + fc_c["bias"].astype(feats.dtype)
+    class_probs = jax.nn.softmax(class_logits, axis=-1)
+    fc_s = dec_params["fc_stop"]
+    stop_logits = feats @ fc_s["kernel"].astype(feats.dtype) \
+        + fc_s["bias"].astype(feats.dtype)
+    return (mask_logits, class_probs, stop_logits), tuple(new_carry)
+
+
+def decode_sequence_rowmajor(dec_params: dict, skips, T: int,
+                             hidden_size: int, skip_mode: str = "concat",
+                             dtype=jnp.bfloat16, interpret: bool = False):
+    """T-step scan over the Pallas step; same returns as decode_sequence."""
+    cells = _hoist_cells_rowmajor(dec_params, skips, hidden_size, skip_mode)
+    carry_nhwc = init_carry(skips, hidden_size, dtype)
+    carry0 = tuple((_to_rowmajor(h), _to_rowmajor(c))
+                   for h, c in carry_nhwc)
+
+    def step(carry, _):
+        (mask, cls, stop), new_carry = rowmajor_decoder_step(
+            dec_params, cells, carry, interpret=interpret)
+        return new_carry, (mask, cls, stop)
+
+    _, (masks, clss, stops) = lax.scan(step, carry0, None, length=T)
+    masks = jnp.moveaxis(masks, 0, 1)
+    clss = jnp.moveaxis(clss, 0, 1)
+    stops = jnp.moveaxis(stops, 0, 1)
+    return masks, clss, stops
+
+
+def rowmajor_path_available(cfg, skips=None, platform: str | None = None
+                            ) -> bool:
+    """The Pallas row-major decode needs channel-separable skip fusion and
+    tile-friendly geometry (every pyramid level's H divisible by 8)."""
+    platform = platform or jax.default_backend()
+    if platform != "tpu" or cfg.skip_mode not in ("concat", "sum", "none"):
+        return False
+    if skips is not None:
+        for s in skips:
+            if s.shape[1] % 8 != 0:
+                return False
+    return True

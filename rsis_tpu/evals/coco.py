@@ -133,22 +133,48 @@ class COCO:
         annsImgIds = [ann["image_id"] for ann in anns]
         assert set(annsImgIds) == (set(annsImgIds) & set(self.getImgIds())), \
             "Results do not correspond to current coco set"
+        # branch order and side effects mirror the reference exactly
+        # (reference coco.py:313-348): bbox results take the bbox branch
+        # even when a segmentation is also present (area from the box,
+        # polygon fill), and bbox/segm results force iscrowd=0.
+        if "caption" in anns[0]:
+            img_ids = ({img["id"] for img in res.dataset["images"]}
+                       & {ann["image_id"] for ann in anns})
+            res.dataset["images"] = [img for img in res.dataset["images"]
+                                     if img["id"] in img_ids]
+            for aid, ann in enumerate(anns):
+                ann["id"] = aid + 1
+            res.dataset["annotations"] = anns
+            res.createIndex()
+            return res
         res.dataset["categories"] = copy.deepcopy(
             self.dataset.get("categories", []))
-        if "segmentation" in anns[0]:
+        if "bbox" in anns[0] and anns[0]["bbox"] != []:
+            for aid, ann in enumerate(anns):
+                bb = ann["bbox"]
+                x1, x2, y1, y2 = bb[0], bb[0] + bb[2], bb[1], bb[1] + bb[3]
+                if "segmentation" not in ann:
+                    ann["segmentation"] = [[x1, y1, x1, y2, x2, y2, x2, y1]]
+                ann["area"] = bb[2] * bb[3]
+                ann["id"] = aid + 1
+                ann["iscrowd"] = 0
+        elif "segmentation" in anns[0]:
             for aid, ann in enumerate(anns):
                 ann["area"] = float(maskUtils.area(ann["segmentation"]))
                 if "bbox" not in ann:
                     ann["bbox"] = maskUtils.toBbox(
                         ann["segmentation"]).tolist()
                 ann["id"] = aid + 1
-                ann["iscrowd"] = ann.get("iscrowd", 0)
-        elif "bbox" in anns[0]:
+                ann["iscrowd"] = 0
+        elif "keypoints" in anns[0]:
             for aid, ann in enumerate(anns):
-                bb = ann["bbox"]
-                ann["area"] = bb[2] * bb[3]
+                s = ann["keypoints"]
+                x, y = s[0::3], s[1::3]
+                x0, x1 = min(x), max(x)
+                y0, y1 = min(y), max(y)
+                ann["area"] = (x1 - x0) * (y1 - y0)
                 ann["id"] = aid + 1
-                ann["iscrowd"] = ann.get("iscrowd", 0)
+                ann["bbox"] = [x0, y0, x1 - x0, y1 - y0]
         res.dataset["annotations"] = anns
         res.createIndex()
         return res

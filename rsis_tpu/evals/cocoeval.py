@@ -35,9 +35,23 @@ class Params:
         self.areaRngLbl = ["all", "small", "medium", "large"]
         self.useCats = 1
 
+    def setKpParams(self):
+        self.imgIds = []
+        self.catIds = []
+        self.iouThrs = np.linspace(0.5, 0.95,
+                                   int(np.round((0.95 - 0.5) / 0.05)) + 1)
+        self.recThrs = np.linspace(0.0, 1.00,
+                                   int(np.round((1.00 - 0.0) / 0.01)) + 1)
+        self.maxDets = [20]
+        self.areaRng = [[0, 1e10], [32 ** 2, 96 ** 2], [96 ** 2, 1e10]]
+        self.areaRngLbl = ["all", "medium", "large"]
+        self.useCats = 1
+
     def __init__(self, iouType="segm"):
         if iouType in ("segm", "bbox"):
             self.setDetParams()
+        elif iouType == "keypoints":
+            self.setKpParams()
         else:
             raise ValueError(f"iouType {iouType!r} not supported")
         self.iouType = iouType
@@ -81,6 +95,8 @@ class COCOeval:
             # GT pkls carry explicit ignore annotations instead). Crowd GTs
             # still get crowd *matching* semantics via computeIoU.
             gt["ignore"] = gt.get("ignore", 0)
+            if p.iouType == "keypoints":
+                gt["ignore"] = (gt.get("num_keypoints") == 0) or gt["ignore"]
         self._gts = defaultdict(list)
         self._dts = defaultdict(list)
         for gt in gts:
@@ -101,7 +117,9 @@ class COCOeval:
         self.params = p
         self._prepare()
         catIds = p.catIds if p.useCats else [-1]
-        self.ious = {(imgId, catId): self.computeIoU(imgId, catId)
+        compute = (self.computeOks if p.iouType == "keypoints"
+                   else self.computeIoU)
+        self.ious = {(imgId, catId): compute(imgId, catId)
                      for imgId in p.imgIds for catId in catIds}
         maxDet = p.maxDets[-1]
         self.evalImgs = [
@@ -137,6 +155,50 @@ class COCOeval:
         if len(d) == 0 or len(g) == 0:
             return np.zeros((len(d), len(g)))
         return maskUtils.iou(d, g, iscrowd)
+
+    # COCO person-keypoint OKS falloff constants (the vendored reference
+    # hardcodes them inside computeOks, cocoeval.py:225)
+    KPT_SIGMAS = np.array([.26, .25, .25, .35, .35, .79, .79, .72, .72,
+                           .62, .62, 1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+    def computeOks(self, imgId, catId):
+        """Object-keypoint-similarity matrix (dts x gts); math matches the
+        reference computeOks loop (cocoeval.py:210-250), vectorized over
+        detections per GT."""
+        p = self.params
+        gts = self._gts[imgId, catId]
+        dts = self._dts[imgId, catId]
+        inds = np.argsort([-d["score"] for d in dts], kind="mergesort")
+        dts = [dts[i] for i in inds]
+        if len(dts) > p.maxDets[-1]:
+            dts = dts[:p.maxDets[-1]]
+        if len(gts) == 0 or len(dts) == 0:
+            return []
+        var = (self.KPT_SIGMAS * 2) ** 2
+        k = len(self.KPT_SIGMAS)
+        d_kp = np.array([d["keypoints"] for d in dts], dtype=np.float64)
+        xd, yd = d_kp[:, 0::3], d_kp[:, 1::3]          # (D, k)
+        ious = np.zeros((len(dts), len(gts)))
+        for j, gt in enumerate(gts):
+            g = np.array(gt["keypoints"], dtype=np.float64)
+            xg, yg, vg = g[0::3], g[1::3], g[2::3]
+            k1 = np.count_nonzero(vg > 0)
+            if k1 > 0:
+                dx = xd - xg
+                dy = yd - yg
+            else:
+                # no labelled keypoints: distance to the doubled gt box
+                bb = gt["bbox"]
+                x0, x1 = bb[0] - bb[2], bb[0] + bb[2] * 2
+                y0, y1 = bb[1] - bb[3], bb[1] + bb[3] * 2
+                dx = np.maximum(0, x0 - xd) + np.maximum(0, xd - x1)
+                dy = np.maximum(0, y0 - yd) + np.maximum(0, yd - y1)
+            e = ((dx ** 2 + dy ** 2) / var
+                 / (gt["area"] + np.spacing(1)) / 2)   # (D, k)
+            if k1 > 0:
+                e = e[:, vg > 0]
+            ious[:, j] = np.exp(-e).sum(axis=1) / e.shape[1]
+        return ious
 
     def evaluateImg(self, imgId, catId, aRng, maxDet):
         p = self.params
@@ -264,37 +326,36 @@ class COCOeval:
                     npig = np.count_nonzero(gtIg == 0)
                     if npig == 0:
                         continue
+                    # vectorized PR-curve computation over all T IoU
+                    # thresholds at once (the reference's per-threshold
+                    # Python list loops, src/coco/PythonAPI/pycocotools/
+                    # cocoeval.py:372-407, computed the same quantities;
+                    # equality is pinned tensor-exactly by
+                    # tests/test_coco_golden.py)
                     tps = np.logical_and(dtm, np.logical_not(dtIg))
                     fps = np.logical_and(np.logical_not(dtm),
                                          np.logical_not(dtIg))
-                    tp_sum = np.cumsum(tps, axis=1).astype(dtype=float)
-                    fp_sum = np.cumsum(fps, axis=1).astype(dtype=float)
-                    for t, (tp, fp) in enumerate(zip(tp_sum, fp_sum)):
-                        tp = np.array(tp)
-                        fp = np.array(fp)
-                        nd = len(tp)
-                        rc = tp / npig
-                        pr = tp / (fp + tp + np.spacing(1))
+                    tp_sum = np.cumsum(tps, axis=1).astype(float)  # (T, nd)
+                    fp_sum = np.cumsum(fps, axis=1).astype(float)
+                    nd = tp_sum.shape[1]
+                    rc = tp_sum / npig
+                    pr = tp_sum / (fp_sum + tp_sum + np.spacing(1))
+                    recall[:, k, a, m] = rc[:, -1] if nd else 0
+                    # precision envelope: right-to-left running max
+                    pr_env = np.maximum.accumulate(
+                        pr[:, ::-1], axis=1)[:, ::-1]
+                    for t in range(T):
+                        # first index whose recall reaches each threshold;
+                        # rc is nondecreasing so out-of-range indices are a
+                        # suffix (matches upstream's stop-at-IndexError)
+                        idx = np.searchsorted(rc[t], p.recThrs, side="left")
+                        valid = idx < nd
                         q = np.zeros((R,))
                         ss = np.zeros((R,))
-                        if nd:
-                            recall[t, k, a, m] = rc[-1]
-                        else:
-                            recall[t, k, a, m] = 0
-                        pr = pr.tolist()
-                        q = q.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
-                        inds_r = np.searchsorted(rc, p.recThrs, side="left")
-                        try:
-                            for ri, pi in enumerate(inds_r):
-                                q[ri] = pr[pi]
-                                ss[ri] = dtScoresSorted[pi]
-                        except IndexError:
-                            pass
-                        precision[t, :, k, a, m] = np.array(q)
-                        scores[t, :, k, a, m] = np.array(ss)
+                        q[valid] = pr_env[t, idx[valid]]
+                        ss[valid] = dtScoresSorted[idx[valid]]
+                        precision[t, :, k, a, m] = q
+                        scores[t, :, k, a, m] = ss
         self.eval = {
             "params": p,
             "counts": [T, R, K, A, M],
@@ -344,6 +405,22 @@ class COCOeval:
         if not self.eval:
             raise RuntimeError("Please run accumulate() first")
         p = self.params
+        if p.iouType == "keypoints":
+            # the vendored reference's _summarizeKps table
+            # (cocoeval.py:469-481)
+            stats = np.zeros((10,))
+            stats[0] = _summarize(1, maxDets=20)
+            stats[1] = _summarize(1, maxDets=20, iouThr=0.5)
+            stats[2] = _summarize(1, maxDets=20, iouThr=0.75)
+            stats[3] = _summarize(1, maxDets=20, areaRng="medium")
+            stats[4] = _summarize(1, maxDets=20, areaRng="large")
+            stats[5] = _summarize(0, maxDets=20)
+            stats[6] = _summarize(0, maxDets=20, iouThr=0.5)
+            stats[7] = _summarize(0, maxDets=20, iouThr=0.75)
+            stats[8] = _summarize(0, maxDets=20, areaRng="medium")
+            stats[9] = _summarize(0, maxDets=20, areaRng="large")
+            self.stats = stats
+            return
         if style == "rsis13":
             # the reference's vendored cocoeval customizes _summarizeDets to
             # a 13-stat layout (AP at IoU .5/.6/.7/.75/.8, AR at .5/.7/.85;

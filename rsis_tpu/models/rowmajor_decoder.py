@@ -31,9 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.mask_head import mask_head_fused
-from ..ops.pallas_decode import (fused_cell_rowmajor, pack_cell_weights,
-                                 pad_hcw)
+from ..ops.pallas_decode import fused_cell_rowmajor, pack_cell_weights
 from ..ops.upsample import _interp_matrix
 from .decoder import decoder_widths, init_carry
 from .fast_decoder import _conv2d
@@ -92,14 +90,23 @@ def _hoist_cells_rowmajor(dec_params: dict, skips: Sequence[jnp.ndarray],
     return cells
 
 
-def _upsample_rowmajor(x: jnp.ndarray, out_h: int, out_w: int
-                       ) -> jnp.ndarray:
+def _upsample_rowmajor(x: jnp.ndarray, out_h: int, out_w: int,
+                       pad: bool = False) -> jnp.ndarray:
     """(B, H, C, W) -> (B, out_h, C, out_w), align-corners bilinear via the
-    same interpolation matrices as ops/upsample.py."""
+    same interpolation matrices as ops/upsample.py. pad=True emits the
+    (out_h+2, out_w+2) zero-halo-ringed tensor the cell kernel consumes
+    directly — the pad rides along as zero rows/cols of the interp
+    matrices, removing a separate XLA pad op per cell per step."""
+    import numpy as np
     b, h, c, w = x.shape
     dtype = x.dtype
-    rm = jnp.asarray(_interp_matrix(h, out_h), dtype)
-    cm = jnp.asarray(_interp_matrix(w, out_w), dtype)
+    rm = _interp_matrix(h, out_h)
+    cm = _interp_matrix(w, out_w)
+    if pad:
+        rm = np.pad(rm, ((1, 1), (0, 0)))
+        cm = np.pad(cm, ((1, 1), (0, 0)))
+    rm = jnp.asarray(rm, dtype)
+    cm = jnp.asarray(cm, dtype)
     x = jnp.einsum("oh,bhcw->bocw", rm, x,
                    preferred_element_type=jnp.float32).astype(dtype)
     x = jnp.einsum("bocw,pw->bocp", x, cm,
@@ -109,27 +116,29 @@ def _upsample_rowmajor(x: jnp.ndarray, out_h: int, out_w: int
 
 def rowmajor_decoder_step(dec_params: dict, cells, carry,
                           interpret: bool = False):
-    """One decode step; carry is a tuple of (h, c) in (B, H, C, W)."""
+    """One decode step; carry is a tuple of (h, c) in (B, H, C, W).
+
+    Returns the finest hidden state instead of mask logits; the caller owns
+    the mask head (measured per-step on the transposed state beats both a
+    row-major per-step head and a deferred T*B-batched head — the dense
+    interp matmul FLOPs dominate, not layout: 1.76 vs 2.2 vs 3.05 ms/step
+    at the bench geometry)."""
     n = len(cells)
     side_feats = []
     new_carry = []
-    up_h = None
     h = None
     for i in range(n):
         h_prev, c_prev = carry[i]
         x_pad = None
         if i > 0:
-            up_h = _upsample_rowmajor(h, h_prev.shape[1], h_prev.shape[3])
-            x_pad = pad_hcw(up_h)
+            # upsample with the halo pad fused into the interp matrices
+            x_pad = _upsample_rowmajor(h, h_prev.shape[1], h_prev.shape[3],
+                                       pad=True)
         h, c = fused_cell_rowmajor(
-            pad_hcw(h_prev), x_pad, c_prev, cells[i]["s"], cells[i]["wt"],
+            h_prev, x_pad, c_prev, cells[i]["s"], cells[i]["wt"],
             cx=cells[i]["cx"], ch=cells[i]["ch"], interpret=interpret)
         new_carry.append((h, c))
         side_feats.append(jnp.max(h, axis=(1, 3)))
-
-    h_nhwc = jnp.moveaxis(h, 2, -1)
-    mask_logits = mask_head_fused(h_nhwc, dec_params["conv_out"]["kernel"],
-                                  dec_params["conv_out"]["bias"])
 
     feats = jnp.concatenate(side_feats, axis=-1)
     fc_c = dec_params["fc_class"]
@@ -139,21 +148,26 @@ def rowmajor_decoder_step(dec_params: dict, cells, carry,
     fc_s = dec_params["fc_stop"]
     stop_logits = feats @ fc_s["kernel"].astype(feats.dtype) \
         + fc_s["bias"].astype(feats.dtype)
-    return (mask_logits, class_probs, stop_logits), tuple(new_carry)
+    return (h, class_probs, stop_logits), tuple(new_carry)
 
 
 def decode_sequence_rowmajor(dec_params: dict, skips, T: int,
                              hidden_size: int, skip_mode: str = "concat",
                              dtype=jnp.bfloat16, interpret: bool = False):
     """T-step scan over the Pallas step; same returns as decode_sequence."""
+    from ..ops.mask_head import mask_head_fused
+
     cells = _hoist_cells_rowmajor(dec_params, skips, hidden_size, skip_mode)
     carry_nhwc = init_carry(skips, hidden_size, dtype)
     carry0 = tuple((_to_rowmajor(h), _to_rowmajor(c))
                    for h, c in carry_nhwc)
 
     def step(carry, _):
-        (mask, cls, stop), new_carry = rowmajor_decoder_step(
+        (h_fine, cls, stop), new_carry = rowmajor_decoder_step(
             dec_params, cells, carry, interpret=interpret)
+        mask = mask_head_fused(jnp.moveaxis(h_fine, 2, -1),
+                               dec_params["conv_out"]["kernel"],
+                               dec_params["conv_out"]["bias"])
         return new_carry, (mask, cls, stop)
 
     _, (masks, clss, stops) = lax.scan(step, carry0, None, length=T)

@@ -38,6 +38,56 @@ def _shifted_interp(n_in: int, n_out: int, delta: int) -> np.ndarray:
     return m
 
 
+def mask_head_rowmajor(hs: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray) -> jnp.ndarray:
+    """conv3x3(upsample_2x_align_corners(h)) over row-major states.
+
+    Same math as mask_head_fused but consuming (N, H, C, W) tensors — the
+    Pallas decode layout — so the channel contraction reads compact HBM
+    tiles (an NHWC C=8 input is lane-padded 16x by XLA) and N can be T*B:
+    the decode scan defers the mask head and runs it ONCE over all
+    timesteps, turning 20 small per-step matmul groups into MXU-saturating
+    (N*H, W) @ (W, 2W) shapes.
+
+    Args:
+      hs: (N, H, C, W) finest hidden states.
+      kernel: (3, 3, C, 1) HWIO conv weight.
+      bias: (1,).
+    Returns:
+      (N, 2H, 2W, 1) mask logits.
+    """
+    n, hh, c, ww = hs.shape
+    oh, ow = 2 * hh, 2 * ww
+    dtype = hs.dtype
+    exact = dtype == jnp.float32
+    mdtype = jnp.float32 if exact else dtype
+    precision = "highest" if exact else None
+
+    k9 = kernel[..., 0].reshape(9, c).astype(mdtype)       # (9, C)
+    hf = hs.astype(mdtype)
+    # all 9 channel contractions in one pass over the compact input
+    z = jnp.einsum("nhcw,tc->tnhw", hf, k9, precision=precision,
+                   preferred_element_type=jnp.float32).astype(mdtype)
+    cols = [jnp.asarray(_shifted_interp(ww, ow, dx - 1), mdtype)
+            for dx in range(3)]
+    rows = [jnp.asarray(_shifted_interp(hh, oh, dy - 1), mdtype)
+            for dy in range(3)]
+    out = None
+    for dy in range(3):
+        acc = None
+        for dx in range(3):
+            t = jnp.einsum("nhw,pw->nhp", z[dy * 3 + dx], cols[dx],
+                           precision=precision,
+                           preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+        r = jnp.einsum("nhp,oh->nop", acc.astype(mdtype), rows[dy],
+                       precision=precision,
+                       preferred_element_type=jnp.float32)
+        out = r if out is None else out + r
+    out = out + bias[0].astype(out.dtype)
+    return out[..., None].astype(dtype)
+
+
 def mask_head_fused(h: jnp.ndarray, kernel: jnp.ndarray,
                     bias: jnp.ndarray) -> jnp.ndarray:
     """conv3x3(upsample_2x_align_corners(h)) for a 1-channel head.

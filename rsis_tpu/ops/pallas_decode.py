@@ -19,18 +19,21 @@ with every tensor stored as (B, H, C, W): the minor two dims (C, W) tile
 compactly (W >= 128 lanes at the hot cells; C sublanes pad at most 2x),
 and a fixed-row slice [y] yields a contiguous (C, W) slab. Per output row
 the 9-tap conv becomes ONE MXU matmul (4C, K) @ (K, W·pack) where
-K = 9·(Cin + C) and xrow is built by 18 cheap in-VMEM slice copies
-(lane-offset dx, sublane-group per tap). Rows are lane-packed
-(pack = 128 // W) for the coarse cells so the matmul N dim stays full.
-The skip contribution s = conv_s(skip) + bias is scan-constant and
-precomputed once per decode (models/fast_decoder.py hoists it the same
-way). H-halos use the aligned body+halo two-block trick on row-padded
-inputs; no manual DMA, everything is standard pipelined BlockSpecs.
+K = 9·(Cin + C) and xrow is built by cheap in-VMEM slice copies
+(lane-shifted per tap with zero-filled edges — SAME-conv column padding
+never touches HBM). Rows are lane-packed (pack = 128 // W) for the coarse
+cells so the matmul N dim stays full. The hidden state is read UNPADDED:
+row halos come from aligned pre/body/post 2-row blocks whose out-of-image
+contributions are masked by the grid position, so no per-step XLA pad op
+exists for h or c. The up-input arrives padded for free (the upsample
+einsum's interpolation matrices carry zero border rows/cols —
+models/rowmajor_decoder._upsample_rowmajor). The skip contribution
+s = conv_s(skip) + bias is scan-constant and precomputed once per decode
+(models/fast_decoder.py hoists it the same way).
 
 Inference-path only (the training step keeps the flax/XLA path for
 autodiff). Equivalence vs the reference cell math is unit-tested in
-interpret mode on CPU and the wrapper is exercised on hardware by
-bench.py when cfg.pallas enables it.
+interpret mode on CPU and the hardware path is exercised by bench.py.
 """
 
 from __future__ import annotations
@@ -62,37 +65,65 @@ def pack_cell_weights(kernel: jnp.ndarray, cx: int, ch: int,
     return jnp.concatenate(parts, axis=0).T   # (4C, K)
 
 
-def _cell_kernel(hb_ref, hh_ref, xb_ref, xh_ref, c_ref, s_ref, wt_ref,
-                 h_out, c_out, xrow_ref, *, th, w, cx, ch, pack):
+def _cell_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
+                 wt_ref, h_out, c_out, xrow_ref, *, th, w, cx, ch, pack):
     """One row-tile: th output rows of one batch element.
 
-    hb/hh: body (1, th, C, W+2) + halo (1, 2, C, W+2) of the row+col-padded
-    h_prev. xb/xh: same for the padded up-input (absent when cx == 0 —
-    the wrapper passes the h blocks twice and the kernel ignores them).
-    c (1, th, C, W), s (1, th, 4C, W), wt (4C, K). Outputs (1, th, C, W).
-    xrow_ref: (K, pack*W) VMEM scratch holding the stacked conv taps.
+    hpre/hb/hpost: 2-row pre-halo + th-row body + 2-row post-halo of the
+    UNPADDED h_prev (1, ·, C, W); edge tiles mask the halo contribution.
+    xb/xh: body (1, th, Cx, W+2) + halo (1, 2, Cx, W+2) of the row+col
+    PADDED up-input (absent when cx == 0 — the wrapper passes the h body
+    twice and the kernel ignores it). c (1, th, C, W), s (1, th, 4C, W),
+    wt (4C, K). Outputs (1, th, C, W). xrow_ref: (K, pack*W) VMEM scratch
+    holding the stacked conv taps.
     """
-    def src_row(b_ref, h_ref, r):
-        # static row index into body/halo pair (r in [0, th+2))
-        return b_ref[0, r] if r < th else h_ref[0, r - th]
+    ri = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    dt = xrow_ref.dtype
+    mask_top = jnp.where(ri > 0, 1, 0).astype(dt)
+    mask_bot = jnp.where(ri < n_tiles - 1, 1, 0).astype(dt)
 
-    rows = []
-    for dy in range(3):
-        for dx in range(3):
-            if cx > 0:
-                rows.append((xb_ref, xh_ref, cx, dy, dx))
-    for dy in range(3):
-        for dx in range(3):
-            rows.append((hb_ref, hh_ref, ch, dy, dx))
+    def h_row(r):
+        # tap row r in [-1, th+1] of the unpadded h, edge-masked
+        if r < 0:
+            return hpre_ref[0, 2 + r] * mask_top
+        if r < th:
+            return hb_ref[0, r]
+        return hpost_ref[0, r - th] * mask_bot
+
+    def x_row(r):
+        # padded up-input row r in [0, th+2)
+        return xb_ref[0, r] if r < th else xh_ref[0, r - th]
+
+    zcol = jnp.zeros((1, 1), dt)
 
     for y0 in range(0, th, pack):
-        # ---- build xrow (K, pack*W): 9 taps x (x-channels, h-channels) ----
+        # ---- build xrow (K, pack*W): 9 x-taps then 9 h-taps ----
         off = 0
-        for (b_ref, h_ref, cn, dy, dx) in rows:
-            for p in range(pack):
-                xrow_ref[off:off + cn, p * w:(p + 1) * w] = \
-                    src_row(b_ref, h_ref, y0 + p + dy)[:, dx:dx + w]
-            off += cn
+        for dy in range(3):
+            for dx in range(3):
+                if cx == 0:
+                    continue
+                for p in range(pack):
+                    xrow_ref[off:off + cx, p * w:(p + 1) * w] = \
+                        x_row(y0 + p + dy)[:, dx:dx + w]
+                off += cx
+        for dy in range(3):
+            for dx in range(3):
+                for p in range(pack):
+                    slab = h_row(y0 + p + dy - 1)       # (C, W)
+                    lo, hi = p * w, (p + 1) * w
+                    if dx == 0:      # left neighbour: shift right, zero col
+                        xrow_ref[off:off + ch, lo + 1:hi] = slab[:, :w - 1]
+                        xrow_ref[off:off + ch, lo:lo + 1] = \
+                            jnp.broadcast_to(zcol, (ch, 1))
+                    elif dx == 1:
+                        xrow_ref[off:off + ch, lo:hi] = slab
+                    else:            # right neighbour: shift left, zero col
+                        xrow_ref[off:off + ch, lo:hi - 1] = slab[:, 1:]
+                        xrow_ref[off:off + ch, hi - 1:hi] = \
+                            jnp.broadcast_to(zcol, (ch, 1))
+                off += ch
 
         gates = jnp.dot(wt_ref[...], xrow_ref[...],
                         preferred_element_type=jnp.float32)  # (4C, pack*W)
@@ -119,57 +150,67 @@ def _pick_tile(h: int) -> int:
 
 
 def pad_hcw(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, C, W) -> (B, H+2, C, W+2): the zero halo ring a 3x3 SAME conv
-    needs, applied in the dims the kernel blocks over."""
+    """(B, H, C, W) -> (B, H+2, C, W+2): the zero halo ring for the padded
+    up-input path (the h/c path needs no pad — the kernel edge-masks)."""
     return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cx", "ch", "interpret"))
-def fused_cell_rowmajor(h_pad: jnp.ndarray, x_pad: jnp.ndarray | None,
+def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
                         c_prev: jnp.ndarray, s_term: jnp.ndarray,
                         wt: jnp.ndarray, *, cx: int, ch: int,
                         interpret: bool = False):
     """One fused ConvLSTM cell step in the (B, H, C, W) layout.
 
     Args:
-      h_pad: (B, H+2, C, W+2) row/col zero-padded previous hidden state.
-      x_pad: (B, H+2, Cx, W+2) padded up-input, or None when cx == 0.
+      h_prev: (B, H, C, W) previous hidden state (unpadded).
+      x_pad: (B, H+2, Cx, W+2) row/col zero-padded up-input, or None when
+        cx == 0 (the pad rides along free inside the upsample matrices).
       c_prev: (B, H, C, W).
       s_term: (B, H, 4C, W) scan-constant skip contribution + bias.
       wt: (4C, 9*(Cx+C)) packed weights (pack_cell_weights).
     Returns:
-      (h, c): each (B, H, C, W), dtype of h_pad.
+      (h, c): each (B, H, C, W), dtype of h_prev.
     """
-    b, hp2, c_dim, wp2 = h_pad.shape
-    h, w = hp2 - 2, wp2 - 2
+    b, h, c_dim, w = h_prev.shape
     assert c_dim == ch and c_prev.shape == (b, h, ch, w)
     assert s_term.shape == (b, h, 4 * ch, w), s_term.shape
     th = _pick_tile(h)
     pack = max(1, 128 // w)
     while th % pack != 0:
         pack //= 2
-    dtype = h_pad.dtype
+    dtype = h_prev.dtype
     if x_pad is None:
         assert cx == 0
-        x_pad = h_pad  # placeholder; kernel never reads it when cx == 0
+        x_pad = h_prev  # placeholder; kernel never reads it when cx == 0
+    else:
+        assert x_pad.shape == (b, h + 2, cx, w + 2), x_pad.shape
 
     grid = (b, h // th)
+    n_tiles = h // th
 
     def body_map(bi, ri):
         return (bi, ri, 0, 0)
 
-    def halo_map(bi, ri):
-        return (bi, (ri * th + th) // 2, 0, 0)
-
-    h_body = pl.BlockSpec((1, th, ch, w + 2), body_map,
+    h_body = pl.BlockSpec((1, th, ch, w), body_map, memory_space=pltpu.VMEM)
+    # aligned 2-row halo blocks of the unpadded h; edge tiles clamp the
+    # index (their contribution is masked inside the kernel)
+    h_pre = pl.BlockSpec(
+        (1, 2, ch, w),
+        lambda bi, ri: (bi, jnp.maximum(ri * (th // 2) - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    h_post = pl.BlockSpec(
+        (1, 2, ch, w),
+        lambda bi, ri: (bi, jnp.minimum(ri * (th // 2) + th // 2,
+                                        (n_tiles * th) // 2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    x_body = pl.BlockSpec((1, th, x_pad.shape[2], x_pad.shape[3]), body_map,
                           memory_space=pltpu.VMEM)
-    h_halo = pl.BlockSpec((1, 2, ch, w + 2), halo_map,
-                          memory_space=pltpu.VMEM)
-    x_body = pl.BlockSpec((1, th, x_pad.shape[2], w + 2), body_map,
-                          memory_space=pltpu.VMEM)
-    x_halo = pl.BlockSpec((1, 2, x_pad.shape[2], w + 2), halo_map,
-                          memory_space=pltpu.VMEM)
+    x_halo = pl.BlockSpec(
+        (1, 2, x_pad.shape[2], x_pad.shape[3]),
+        lambda bi, ri: (bi, (ri * th + th) // 2, 0, 0),
+        memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((1, th, ch, w), body_map, memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((1, th, 4 * ch, w), body_map,
                           memory_space=pltpu.VMEM)
@@ -179,7 +220,7 @@ def fused_cell_rowmajor(h_pad: jnp.ndarray, x_pad: jnp.ndarray | None,
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[h_body, h_halo, x_body, x_halo, c_spec, s_spec,
+        in_specs=[h_pre, h_body, h_post, x_body, x_halo, c_spec, s_spec,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[c_spec, c_spec],
         out_shape=[jax.ShapeDtypeStruct((b, h, ch, w), dtype),
@@ -188,4 +229,4 @@ def fused_cell_rowmajor(h_pad: jnp.ndarray, x_pad: jnp.ndarray | None,
             pltpu.VMEM((9 * (cx + ch), pack * w), dtype),
         ],
         interpret=interpret,
-    )(h_pad, h_pad, x_pad, x_pad, c_prev, s_term, wt)
+    )(h_prev, h_prev, h_prev, x_pad, x_pad, c_prev, s_term, wt)

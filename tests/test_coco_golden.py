@@ -157,6 +157,67 @@ def test_full_stack_matches_reference_pycocotools(fixture, iou_type,
                                err_msg=f"{iou_type} summary diverges")
 
 
+def test_keypoints_stack_matches_reference(tmp_path):
+    """OKS matching + the 10-stat keypoint summary must match the
+    reference's vendored pycocotools on the fake-keypoints fixture with a
+    deterministically synthesized GT (every other detection, jittered
+    visibilities)."""
+    res_path = (f"{REF}/results/"
+                "person_keypoints_val2014_fakekeypoints100_results.json")
+    dets = json.load(open(res_path))
+    assert len(dets) > 100
+    images, img_seen = [], set()
+    anns = []
+    for i, d in enumerate(dets):
+        if d["image_id"] not in img_seen:
+            img_seen.add(d["image_id"])
+            images.append({"id": d["image_id"], "height": 480, "width": 640})
+        if i % 2 == 0:
+            kp = list(d["keypoints"])
+            # deterministic visibility pattern incl. a fully-unlabelled GT
+            # every 9th (exercises the doubled-bbox fallback in computeOks)
+            nk = 0
+            for j in range(2, len(kp), 3):
+                kp[j] = 0 if (len(anns) % 9 == 0 or j % 9 == 2) else 2
+                nk += kp[j] > 0
+            xs, ys = kp[0::3], kp[1::3]
+            bbox = [min(xs), min(ys), max(xs) - min(xs),
+                    max(ys) - min(ys)]
+            anns.append({"id": len(anns) + 1, "image_id": d["image_id"],
+                         "category_id": d["category_id"], "keypoints": kp,
+                         "num_keypoints": int(nk), "bbox": bbox,
+                         "area": bbox[2] * bbox[3], "iscrowd": 0})
+    gt = {"images": images, "annotations": anns,
+          "categories": [{"id": 1, "name": "person"}]}
+    gt_path = os.path.join(str(tmp_path), "gt_kp.json")
+    json.dump(gt, open(gt_path, "w"))
+
+    up = _load_upstream()
+    coco_u = up.coco.COCO(gt_path)
+    ev_u = up.cocoeval.COCOeval(coco_u, coco_u.loadRes(res_path),
+                                "keypoints")
+    ev_u.evaluate()
+    ev_u.accumulate()
+    ev_u.summarize()
+
+    from rsis_tpu.evals.coco import COCO
+    from rsis_tpu.evals.cocoeval import COCOeval
+    coco_o = COCO(gt_path)
+    ev_o = COCOeval(coco_o, coco_o.loadRes(res_path), "keypoints")
+    ev_o.evaluate()
+    ev_o.accumulate()
+    ev_o.summarize()
+
+    for key in ("precision", "recall"):
+        np.testing.assert_allclose(ev_o.eval[key], ev_u.eval[key],
+                                   rtol=0, atol=1e-12,
+                                   err_msg=f"keypoints {key} diverges")
+    want = np.asarray(ev_u.stats, dtype=np.float64)
+    got = np.asarray(ev_o.stats, dtype=np.float64)
+    assert want.shape == (10,) and want.max() > 0.1, want
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
 def test_per_image_eval_matches_reference(tmp_path):
     # beyond the 12 summary numbers: per-image/per-category match arrays
     res_path = f"{REF}/results/instances_val2014_fakesegm100_results.json"

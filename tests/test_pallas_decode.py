@@ -56,10 +56,9 @@ def test_fused_cell_matches_reference(h, w, cx, ch):
     h_ref, c_ref = reference_cell(x, hp, cp, kern, s)
 
     wt = pack_cell_weights(kern, cx, ch, dtype=dt)
-    h_pad = pad_hcw(to_rowmajor(hp))
     x_pad = pad_hcw(to_rowmajor(x)) if cx else None
     h_got, c_got = fused_cell_rowmajor(
-        h_pad, x_pad, to_rowmajor(cp), to_rowmajor(s), wt,
+        to_rowmajor(hp), x_pad, to_rowmajor(cp), to_rowmajor(s), wt,
         cx=cx, ch=ch, interpret=True)
 
     np.testing.assert_allclose(np.asarray(from_rowmajor(h_got)),

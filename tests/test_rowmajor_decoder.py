@@ -36,8 +36,12 @@ class TestRowmajorDecoder:
         carry_nhwc = init_carry(skips, dec.hidden_size, jnp.float32)
         carry0 = tuple((_to_rowmajor(h), _to_rowmajor(c))
                        for h, c in carry_nhwc)
-        (m_g, c_g, s_g), carry_g = rowmajor_decoder_step(
+        (h_g, c_g, s_g), carry_g = rowmajor_decoder_step(
             params, cells, carry0, interpret=True)
+        # the step defers the mask head; apply it to the returned state
+        from rsis_tpu.ops.mask_head import mask_head_rowmajor
+        m_g = mask_head_rowmajor(h_g, params["conv_out"]["kernel"],
+                                 params["conv_out"]["bias"])
         np.testing.assert_allclose(np.asarray(m_g), np.asarray(m_w),
                                    atol=3e-5)
         np.testing.assert_allclose(np.asarray(c_g), np.asarray(c_w),

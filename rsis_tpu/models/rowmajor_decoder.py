@@ -115,14 +115,17 @@ def _upsample_rowmajor(x: jnp.ndarray, out_h: int, out_w: int,
 
 
 def rowmajor_decoder_step(dec_params: dict, cells, carry,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          differentiable: bool = False):
     """One decode step; carry is a tuple of (h, c) in (B, H, C, W).
 
     Returns the finest hidden state instead of mask logits; the caller owns
     the mask head (measured per-step on the transposed state beats both a
     row-major per-step head and a deferred T*B-batched head — the dense
     interp matmul FLOPs dominate, not layout: 1.76 vs 2.2 vs 3.05 ms/step
-    at the bench geometry)."""
+    at the bench geometry). differentiable=True routes through the
+    custom_vjp cells (ops/pallas_decode_vjp) so the training step can
+    backprop through the Pallas kernels."""
     n = len(cells)
     side_feats = []
     new_carry = []
@@ -134,9 +137,16 @@ def rowmajor_decoder_step(dec_params: dict, cells, carry,
             # upsample with the halo pad fused into the interp matrices
             x_pad = _upsample_rowmajor(h, h_prev.shape[1], h_prev.shape[3],
                                        pad=True)
-        h, c = fused_cell_rowmajor(
-            h_prev, x_pad, c_prev, cells[i]["s"], cells[i]["wt"],
-            cx=cells[i]["cx"], ch=cells[i]["ch"], interpret=interpret)
+        if differentiable:
+            from ..ops.pallas_decode_vjp import make_fused_cell_vjp
+            cell_fn = make_fused_cell_vjp(cells[i]["cx"], cells[i]["ch"],
+                                          interpret=interpret)
+            h, c = cell_fn(h_prev, x_pad, c_prev, cells[i]["s"],
+                           cells[i]["wt"])
+        else:
+            h, c = fused_cell_rowmajor(
+                h_prev, x_pad, c_prev, cells[i]["s"], cells[i]["wt"],
+                cx=cells[i]["cx"], ch=cells[i]["ch"], interpret=interpret)
         new_carry.append((h, c))
         side_feats.append(jnp.max(h, axis=(1, 3)))
 

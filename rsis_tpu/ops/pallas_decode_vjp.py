@@ -1,0 +1,273 @@
+"""Differentiable fused ConvLSTM cell: custom_vjp over the Pallas kernel.
+
+Forward is ops/pallas_decode.fused_cell_rowmajor. Backward recomputes the
+gates inside a second Pallas kernel (rematerialization — the residuals are
+just the forward *inputs*, so a scanned/checkpointed training step stores
+nothing extra per timestep) and emits the pre-activation gate cotangent
+plus dc_prev; the remaining pieces are expressed with XLA on the same
+row-major layout:
+
+  dx      = conv3x3(dgates, flip(Wx)^T)     (transposed-kernel SAME conv)
+  dh_prev = conv3x3(dgates, flip(Wh)^T) + (masked halo edges match fwd)
+  ds      = dgates                          (s enters additively)
+  dwt     = sum_pixels xrow ⊗ dgates        (9 shifted einsums)
+
+Gate math being differentiated (reference chunk order i,f,o,g,
+src/modules/clstm.py:40-62):
+  c = sig(f)·c_prev + sig(i)·tanh(g);  h = sig(o)·tanh(c)
+
+Gradient identities used by the backward kernel:
+  dc_tot = dc + dh·o·(1 - tanh²(c))
+  d(i̇) = dc_tot·g·i(1-i); d(ḟ) = dc_tot·c_prev·f(1-f)
+  d(ȯ) = dh·tanh(c)·o(1-o); d(ġ) = dc_tot·i·(1-g²)
+  dc_prev = dc_tot·f
+
+Equivalence of the full VJP against jax.grad of the plain-jnp cell is
+unit-tested in interpret mode (tests/test_pallas_vjp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_decode import _pick_tile, fused_cell_rowmajor
+
+
+def _bwd_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
+                wt_ref, dh_ref, dc_ref, dg_out, dcp_out, xrow_ref,
+                *, th, w, cx, ch, pack):
+    """Recompute gates, emit pre-activation dgates (1, th, 4C, W) and
+    dc_prev (1, th, C, W). Same block layout as the forward kernel."""
+    ri = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    dt = xrow_ref.dtype
+    mask_top = jnp.where(ri > 0, 1, 0).astype(dt)
+    mask_bot = jnp.where(ri < n_tiles - 1, 1, 0).astype(dt)
+
+    def h_row(r):
+        if r < 0:
+            return hpre_ref[0, 2 + r] * mask_top
+        if r < th:
+            return hb_ref[0, r]
+        return hpost_ref[0, r - th] * mask_bot
+
+    def x_row(r):
+        return xb_ref[0, r] if r < th else xh_ref[0, r - th]
+
+    zcol = jnp.zeros((1, 1), dt)
+
+    for y0 in range(0, th, pack):
+        off = 0
+        for dy in range(3):
+            for dx in range(3):
+                if cx == 0:
+                    continue
+                for p in range(pack):
+                    xrow_ref[off:off + cx, p * w:(p + 1) * w] = \
+                        x_row(y0 + p + dy)[:, dx:dx + w]
+                off += cx
+        for dy in range(3):
+            for dx in range(3):
+                for p in range(pack):
+                    slab = h_row(y0 + p + dy - 1)
+                    lo, hi = p * w, (p + 1) * w
+                    if dx == 0:
+                        xrow_ref[off:off + ch, lo + 1:hi] = slab[:, :w - 1]
+                        xrow_ref[off:off + ch, lo:lo + 1] = \
+                            jnp.broadcast_to(zcol, (ch, 1))
+                    elif dx == 1:
+                        xrow_ref[off:off + ch, lo:hi] = slab
+                    else:
+                        xrow_ref[off:off + ch, lo:hi - 1] = slab[:, 1:]
+                        xrow_ref[off:off + ch, hi - 1:hi] = \
+                            jnp.broadcast_to(zcol, (ch, 1))
+                off += ch
+
+        gates = jnp.dot(wt_ref[...], xrow_ref[...],
+                        preferred_element_type=jnp.float32)
+
+        for p in range(pack):
+            g_all = gates[:, p * w:(p + 1) * w] \
+                + s_ref[0, y0 + p].astype(jnp.float32)
+            i_g = jax.nn.sigmoid(g_all[0 * ch:1 * ch])
+            f_g = jax.nn.sigmoid(g_all[1 * ch:2 * ch])
+            o_g = jax.nn.sigmoid(g_all[2 * ch:3 * ch])
+            g_g = jnp.tanh(g_all[3 * ch:4 * ch])
+            c_prev = c_ref[0, y0 + p].astype(jnp.float32)
+            c_new = f_g * c_prev + i_g * g_g
+            tc = jnp.tanh(c_new)
+
+            dh = dh_ref[0, y0 + p].astype(jnp.float32)
+            dc = dc_ref[0, y0 + p].astype(jnp.float32)
+            dc_tot = dc + dh * o_g * (1.0 - tc * tc)
+            d_i = dc_tot * g_g * i_g * (1.0 - i_g)
+            d_f = dc_tot * c_prev * f_g * (1.0 - f_g)
+            d_o = dh * tc * o_g * (1.0 - o_g)
+            d_g = dc_tot * i_g * (1.0 - g_g * g_g)
+
+            dg_out[0, y0 + p, 0 * ch:1 * ch] = d_i.astype(dg_out.dtype)
+            dg_out[0, y0 + p, 1 * ch:2 * ch] = d_f.astype(dg_out.dtype)
+            dg_out[0, y0 + p, 2 * ch:3 * ch] = d_o.astype(dg_out.dtype)
+            dg_out[0, y0 + p, 3 * ch:4 * ch] = d_g.astype(dg_out.dtype)
+            dcp_out[0, y0 + p] = (dc_tot * f_g).astype(dcp_out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cx", "ch", "interpret"))
+def _cell_backward_dgates(h_prev, x_pad, c_prev, s_term, wt, dh, dc, *,
+                          cx: int, ch: int, interpret: bool = False):
+    b, h, _, w = h_prev.shape
+    th = _pick_tile(h)
+    pack = max(1, 128 // w)
+    while th % pack != 0:
+        pack //= 2
+    dtype = h_prev.dtype
+    if x_pad is None:
+        assert cx == 0
+        x_pad = h_prev
+
+    grid = (b, h // th)
+    n_tiles = h // th
+
+    def body_map(bi, ri):
+        return (bi, ri, 0, 0)
+
+    h_body = pl.BlockSpec((1, th, ch, w), body_map, memory_space=pltpu.VMEM)
+    h_pre = pl.BlockSpec(
+        (1, 2, ch, w),
+        lambda bi, ri: (bi, jnp.maximum(ri * (th // 2) - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    h_post = pl.BlockSpec(
+        (1, 2, ch, w),
+        lambda bi, ri: (bi, jnp.minimum(ri * (th // 2) + th // 2,
+                                        (n_tiles * th) // 2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    x_body = pl.BlockSpec((1, th, x_pad.shape[2], x_pad.shape[3]), body_map,
+                          memory_space=pltpu.VMEM)
+    x_halo = pl.BlockSpec(
+        (1, 2, x_pad.shape[2], x_pad.shape[3]),
+        lambda bi, ri: (bi, (ri * th + th) // 2, 0, 0),
+        memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((1, th, ch, w), body_map, memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, th, 4 * ch, w), body_map,
+                          memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_bwd_kernel, th=th, w=w, cx=cx, ch=ch,
+                             pack=pack)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[h_pre, h_body, h_post, x_body, x_halo, c_spec, g_spec,
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  c_spec, c_spec],
+        out_specs=[g_spec, c_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, h, 4 * ch, w), dtype),
+                   jax.ShapeDtypeStruct((b, h, ch, w), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((9 * (cx + ch), pack * w), dtype),
+        ],
+        interpret=interpret,
+    )(h_prev, h_prev, h_prev, x_pad, x_pad, c_prev, s_term, wt,
+      dh, dc)
+
+
+def _conv_transpose_rowmajor(dg, wt, cin: int, ch: int, take):
+    """dinput = conv3x3^T(dgates) for the slice of the packed weight
+    selected by ``take`` ("x" or "h"): a SAME conv of dg (B, H, 4C, W)
+    with the spatially-flipped transposed kernels, in plain XLA on the
+    row-major layout (correct by construction; hot enough to move into a
+    kernel later if the trace says so)."""
+    b, h, _, w = dg.shape
+    # unpack wt (4C, 9*(cx+ch)) back to per-tap (cin, 4C) blocks
+    cx_total = wt.shape[1] // 9 - ch
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            t = dy * 3 + dx
+            if take == "x":
+                blk = wt[:, t * cx_total:(t + 1) * cx_total]       # (4C, cx)
+            else:
+                base = 9 * cx_total
+                blk = wt[:, base + t * ch:base + (t + 1) * ch]     # (4C, ch)
+            # transposed conv: din[u] collects dg[u - (dy-1)] — the
+            # opposite shift of the forward tap
+            shifted = _shift2d(dg, 1 - dy, 1 - dx)
+            term = jnp.einsum("bhgw,gc->bhcw", shifted, blk,
+                              preferred_element_type=jnp.float32)
+            out = term if out is None else out + term
+    return out.astype(dg.dtype)
+
+
+def _shift2d(x, sy: int, sx: int):
+    """Shift (B, H, C, W) by (-sy, -sx) with zero fill: out[y] = x[y+sy]."""
+    b, h, c, w = x.shape
+    x = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
+    return lax.dynamic_slice(x, (0, 1 + sy, 0, 1 + sx), (b, h, c, w))
+
+
+def _weight_grad(h_prev, x_pad, dg, cx: int, ch: int):
+    """dwt (4C, 9*(cx+ch)) = sum_pixels dgates ⊗ shifted inputs."""
+    b, h, _, w = dg.shape
+    blocks = []
+    if cx:
+        x = lax.dynamic_slice(x_pad, (0, 1, 0, 1),
+                              (b, h, cx, w))  # unpadded view
+    for dy in range(3):
+        for dx in range(3):
+            if cx:
+                xs = _shift2d(x, dy - 1, dx - 1)
+                blocks.append(jnp.einsum(
+                    "bhgw,bhcw->gc", dg, xs,
+                    preferred_element_type=jnp.float32))
+    for dy in range(3):
+        for dx in range(3):
+            hs = _shift2d(h_prev, dy - 1, dx - 1)
+            blocks.append(jnp.einsum(
+                "bhgw,bhcw->gc", dg, hs,
+                preferred_element_type=jnp.float32))
+    return jnp.concatenate(blocks, axis=1).astype(dg.dtype)  # (4C, K)
+
+
+@functools.lru_cache(maxsize=32)
+def make_fused_cell_vjp(cx: int, ch: int, interpret: bool = False):
+    """Returns a differentiable fused cell fn(h_prev, x_pad, c_prev, s, wt)
+    -> (h, c) with the Pallas forward and the remat backward."""
+
+    @jax.custom_vjp
+    def cell(h_prev, x_pad, c_prev, s_term, wt):
+        return fused_cell_rowmajor(h_prev, x_pad, c_prev, s_term, wt,
+                                   cx=cx, ch=ch, interpret=interpret)
+
+    def fwd(h_prev, x_pad, c_prev, s_term, wt):
+        out = fused_cell_rowmajor(h_prev, x_pad, c_prev, s_term, wt,
+                                  cx=cx, ch=ch, interpret=interpret)
+        return out, (h_prev, x_pad, c_prev, s_term, wt)
+
+    def bwd(res, cts):
+        h_prev, x_pad, c_prev, s_term, wt = res
+        dh, dc = cts
+        dg, dc_prev = _cell_backward_dgates(
+            h_prev, x_pad, c_prev, s_term, wt, dh, dc, cx=cx, ch=ch,
+            interpret=interpret)
+        ds = dg
+        dwt = _weight_grad(h_prev, x_pad, dg, cx, ch)
+        dh_prev = _conv_transpose_rowmajor(dg, wt, cx, ch, take="h")
+        if cx:
+            # ring entries of x_pad do reach edge gates, but their
+            # cotangent is dropped (zero ring): every producer of x_pad
+            # in this codebase writes a structurally-zero ring (the
+            # pad-fused upsample matrices), whose own transpose kills
+            # those grads anyway — the composed gradient is exact.
+            dx = _conv_transpose_rowmajor(dg, wt, cx, ch, take="x")
+            dx_pad = jnp.pad(dx, ((0, 0), (1, 1), (0, 0), (1, 1)))
+        else:
+            dx_pad = jnp.zeros_like(x_pad) if x_pad is not None else None
+        return dh_prev, dx_pad, dc_prev, ds, dwt
+
+    cell.defvjp(fwd, bwd)
+    return cell

@@ -108,7 +108,36 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
     # the skip fusion is channel-separable; see models/fast_decoder.py
     use_fast = (cfg.pallas != "off" and not needs_rng
                 and cfg.skip_mode in ("concat", "sum", "none"))
-    if use_fast:
+    from ..models.rowmajor_decoder import (
+        _hoist_cells_rowmajor, _to_rowmajor, rowmajor_decoder_step,
+        rowmajor_path_available)
+    interpret = jax.default_backend() != "tpu"
+    use_rowmajor = use_fast and (
+        rowmajor_path_available(cfg, skips)
+        or (cfg.pallas == "on"
+            and all(s.shape[1] % 2 == 0 for s in skips)))
+    if use_rowmajor:
+        # Pallas cells with custom_vjp backward kernels — the training
+        # twin of the inference row-major decode (ops/pallas_decode_vjp)
+        from ..ops.mask_head import mask_head_fused
+        cells_rm = _hoist_cells_rowmajor(params["decoder"], skips,
+                                         cfg.hidden_size, cfg.skip_mode)
+        carry0 = tuple((_to_rowmajor(hh), _to_rowmajor(cc))
+                       for hh, cc in carry0)
+        conv_out = params["decoder"]["conv_out"]
+
+        def step(carry, t):
+            (h_fine, cls, stop), new_carry = rowmajor_decoder_step(
+                params["decoder"], cells_rm, carry, interpret=interpret,
+                differentiable=True)
+            mask = mask_head_fused(jnp.moveaxis(h_fine, 2, -1),
+                                   conv_out["kernel"], conv_out["bias"])
+            mask = upsample_bilinear_align_corners(mask, h, w)
+            mask_flat = mask.reshape(mask.shape[0], -1).astype(jnp.float32)
+            cost_col = soft_iou_cost(y_mask, mask_flat[:, None, :])
+            return new_carry, (mask_flat, cls.astype(jnp.float32),
+                               stop[:, 0].astype(jnp.float32), cost_col)
+    elif use_fast:
         from ..models.fast_decoder import _hoist_cells, fast_decoder_step
         cells = _hoist_cells(params["decoder"], skips, cfg.hidden_size,
                              cfg.skip_mode)

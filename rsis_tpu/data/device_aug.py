@@ -173,10 +173,21 @@ def augment_wire_batch(rng: jax.Array, x: jnp.ndarray, y_mask: jnp.ndarray,
     ms = sample_affine_matrices(k_aff, b, h, w, rotation, translation,
                                 shear, zoom_range)
     idx = jax.vmap(lambda m: _nearest_index_map(m, h, w))(ms)  # (B, H*W)
-    x = jax.vmap(lambda im, ix: im.reshape(h * w, -1)[ix])(x, idx)
-    x = x.reshape(b, h, w, -1)
-    masks = jax.vmap(lambda mk, ix: mk.reshape(n, h * w)[:, ix])(masks, idx)
-    return x, masks
+    # instance masks are disjoint (sequence_from_masks splits an instance
+    # map), so the N mask planes collapse into ONE id plane for the warp:
+    # TPU gathers are per-row-expensive (measured 143 ms for the (B*HW, N)
+    # f32 gather at the train geometry vs ~7 ms for the id plane), and the
+    # N-plane expansion afterwards is a cheap elementwise compare.
+    ids = jnp.einsum("bnhw,n->bhw", masks,
+                     jnp.arange(1, n + 1, dtype=masks.dtype))
+    warped = jnp.concatenate(
+        [x.reshape(b, h * w, -1), ids.reshape(b, h * w, 1)], axis=-1)
+    warped = jax.vmap(lambda im, ix: im[ix])(warped, idx)
+    x = warped[..., :-1].reshape(b, h, w, -1)
+    ids_w = warped[..., -1].reshape(b, 1, h * w)
+    lbl = jnp.arange(1, n + 1, dtype=masks.dtype)[None, :, None]
+    masks = (ids_w == lbl).astype(y_mask.dtype)
+    return x, masks.reshape(b, n, h * w)
 
 
 def augment_batch(rng: jax.Array, imgs: jnp.ndarray, ins: jnp.ndarray,

@@ -27,14 +27,27 @@ def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:
     """Optimal assignment of an (N, N) cost matrix.
 
     Returns ``row_of_col``: int32 (N,) where ``row_of_col[j]`` is the row
-    assigned to column j. Jonker-Volgenant with dual potentials; every loop
-    bound is fixed at N+1 iterations so the program shape is static.
+    assigned to column j. Jonker-Volgenant with dual potentials.
+
+    Every loop is PYTHON-unrolled with done-masking instead of
+    lax.while/fori: on this backend a lax loop iteration carries a ~0.7 ms
+    floor regardless of body size (docs/PERF.md), which made the
+    data-dependent JV whiles the single most expensive part of the train
+    step (~80 ms/step at N=20, B*T=160 vmapped problems). Unrolled, the
+    whole batched solve is a few thousand tiny fused ops with no loop
+    floor. The augmenting path for row i visits at most i+1 assigned
+    columns, so its trip bound is i+2 (and the path-reconstruction bound
+    likewise), keeping the unrolled program ~N^2/2 segments, not N^2.
     """
     n = cost.shape[0]
     cost = cost.astype(jnp.float32)
+    cols = jnp.arange(n + 1)
 
-    def assign_row(i, state):
-        u, v, p = state
+    u = jnp.zeros(n + 1, jnp.float32)
+    v = jnp.zeros(n + 1, jnp.float32)
+    p = jnp.zeros(n + 1, jnp.int32)
+
+    for i in range(n):
         row = i + 1  # 1-indexed
         p = p.at[0].set(row)
         minv = jnp.full(n + 1, _INF)
@@ -42,50 +55,36 @@ def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:
         used = jnp.zeros(n + 1, dtype=bool)
         j0 = jnp.int32(0)
 
-        def path_cond(carry):
-            u, v, p, minv, way, used, j0 = carry
-            return p[j0] != 0
-
-        def path_body(carry):
-            u, v, p, minv, way, used, j0 = carry
-            used = used.at[j0].set(True)
+        for _ in range(i + 2):
+            active = p[j0] != 0
+            used_n = used.at[j0].set(True)
             i0 = p[j0]
-            cols = jnp.arange(n + 1)
-            cur = cost[i0 - 1, jnp.clip(cols - 1, 0, n - 1)] - u[i0] - v
-            cur = jnp.where((cols == 0) | used, _INF, cur)
+            cur = cost[jnp.maximum(i0 - 1, 0),
+                       jnp.clip(cols - 1, 0, n - 1)] - u[i0] - v
+            cur = jnp.where((cols == 0) | used_n, _INF, cur)
             better = cur < minv
-            minv = jnp.where(better, cur, minv)
-            way = jnp.where(better, j0, way)
-            reachable = jnp.where(used | (cols == 0), _INF, minv)
+            minv_n = jnp.where(better, cur, minv)
+            way_n = jnp.where(better, j0, way)
+            reachable = jnp.where(used_n | (cols == 0), _INF, minv_n)
             j1 = jnp.argmin(reachable).astype(jnp.int32)
             delta = reachable[j1]
-            # dual update: u[p[j]] += delta for used j; v[j] -= delta for
-            # used j; minv[j] -= delta for unused j
-            u = u.at[p].add(jnp.where(used, delta, 0.0))
-            v = v - jnp.where(used, delta, 0.0)
-            minv = minv - jnp.where(used, 0.0, delta)
-            return u, v, p, minv, way, used, j1
+            u_n = u.at[p].add(jnp.where(used_n, delta, 0.0))
+            v_n = v - jnp.where(used_n, delta, 0.0)
+            minv_n = minv_n - jnp.where(used_n, 0.0, delta)
+            # freeze all state once the path has terminated
+            u = jnp.where(active, u_n, u)
+            v = jnp.where(active, v_n, v)
+            minv = jnp.where(active, minv_n, minv)
+            way = jnp.where(active, way_n, way)
+            used = jnp.where(active, used_n, used)
+            j0 = jnp.where(active, j1, j0)
 
-        u, v, p, minv, way, used, j0 = lax.while_loop(
-            path_cond, path_body, (u, v, p, minv, way, used, j0))
+        for _ in range(i + 2):
+            active = j0 != 0
+            j1 = way[j0]
+            p = jnp.where(active, p.at[j0].set(p[j1]), p)
+            j0 = jnp.where(active, j1, j0)
 
-        def unroll_cond(carry):
-            p, j = carry
-            return j != 0
-
-        def unroll_body(carry):
-            p, j = carry
-            j1 = way[j]
-            p = p.at[j].set(p[j1])
-            return p, j1
-
-        p, _ = lax.while_loop(unroll_cond, unroll_body, (p, j0))
-        return u, v, p
-
-    u = jnp.zeros(n + 1, jnp.float32)
-    v = jnp.zeros(n + 1, jnp.float32)
-    p = jnp.zeros(n + 1, jnp.int32)
-    _, _, p = lax.fori_loop(0, n, assign_row, (u, v, p))
     return p[1:] - 1  # row_of_col, 0-indexed
 
 

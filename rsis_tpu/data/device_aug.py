@@ -178,14 +178,19 @@ def augment_wire_batch(rng: jax.Array, x: jnp.ndarray, y_mask: jnp.ndarray,
     # TPU gathers are per-row-expensive (measured 143 ms for the (B*HW, N)
     # f32 gather at the train geometry vs ~7 ms for the id plane), and the
     # N-plane expansion afterwards is a cheap elementwise compare.
+    # gather payload follows the image's compute dtype (bf16 on the
+    # training fast path — TPU gathers pay mostly per row, but halving the
+    # bytes still trims ~20%; f32 callers keep exact pixels). ids <= N are
+    # exact in either dtype.
     ids = jnp.einsum("bnhw,n->bhw", masks,
                      jnp.arange(1, n + 1, dtype=masks.dtype))
-    warped = jnp.concatenate(
-        [x.reshape(b, h * w, -1), ids.reshape(b, h * w, 1)], axis=-1)
-    warped = jax.vmap(lambda im, ix: im[ix])(warped, idx)
+    payload = jnp.concatenate(
+        [x.reshape(b, h * w, -1),
+         ids.reshape(b, h * w, 1).astype(x.dtype)], axis=-1)
+    warped = jax.vmap(lambda im, ix: im[ix])(payload, idx)
     x = warped[..., :-1].reshape(b, h, w, -1)
     ids_w = warped[..., -1].reshape(b, 1, h * w)
-    lbl = jnp.arange(1, n + 1, dtype=masks.dtype)[None, :, None]
+    lbl = jnp.arange(1, n + 1, dtype=x.dtype)[None, :, None]
     masks = (ids_w == lbl).astype(y_mask.dtype)
     return x, masks.reshape(b, n, h * w)
 

@@ -149,6 +149,93 @@ def _pick_tile(h: int) -> int:
     return h
 
 
+def _conv_kernel(pre_ref, body_ref, post_ref, wt_ref, out_ref, xrow_ref,
+                 *, th, w, cin, cout, pack):
+    """Plain 3x3 SAME conv row-tile: out = W^T @ xrow. Same unpadded
+    masked-halo layout as the cell kernel, no epilogue."""
+    ri = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    dt = xrow_ref.dtype
+    mask_top = jnp.where(ri > 0, 1, 0).astype(dt)
+    mask_bot = jnp.where(ri < n_tiles - 1, 1, 0).astype(dt)
+
+    def row(r):
+        if r < 0:
+            return pre_ref[0, 2 + r] * mask_top
+        if r < th:
+            return body_ref[0, r]
+        return post_ref[0, r - th] * mask_bot
+
+    zcol = jnp.zeros((1, 1), dt)
+    for y0 in range(0, th, pack):
+        off = 0
+        for dy in range(3):
+            for dx in range(3):
+                for p in range(pack):
+                    slab = row(y0 + p + dy - 1)
+                    lo, hi = p * w, (p + 1) * w
+                    if dx == 0:
+                        xrow_ref[off:off + cin, lo + 1:hi] = slab[:, :w - 1]
+                        xrow_ref[off:off + cin, lo:lo + 1] = \
+                            jnp.broadcast_to(zcol, (cin, 1))
+                    elif dx == 1:
+                        xrow_ref[off:off + cin, lo:hi] = slab
+                    else:
+                        xrow_ref[off:off + cin, lo:hi - 1] = slab[:, 1:]
+                        xrow_ref[off:off + cin, hi - 1:hi] = \
+                            jnp.broadcast_to(zcol, (cin, 1))
+                off += cin
+        out = jnp.dot(wt_ref[...], xrow_ref[...],
+                      preferred_element_type=jnp.float32)
+        for p in range(pack):
+            out_ref[0, y0 + p] = out[:, p * w:(p + 1) * w].astype(
+                out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cin", "cout", "interpret"))
+def conv3x3_rowmajor(x: jnp.ndarray, wt: jnp.ndarray, *, cin: int,
+                     cout: int, interpret: bool = False) -> jnp.ndarray:
+    """3x3 SAME conv on (B, H, Cin, W) with packed weights
+    wt (Cout, 9*Cin) (tap-major, channel-minor rows — the kh part of
+    pack_cell_weights). Used by the cell VJP for the transposed convs."""
+    b, h, c_dim, w = x.shape
+    assert c_dim == cin
+    th = _pick_tile(h)
+    pack = max(1, 128 // w)
+    while th % pack != 0:
+        pack //= 2
+    grid = (b, h // th)
+    n_tiles = h // th
+
+    def body_map(bi, ri):
+        return (bi, ri, 0, 0)
+
+    body = pl.BlockSpec((1, th, cin, w), body_map, memory_space=pltpu.VMEM)
+    pre = pl.BlockSpec(
+        (1, 2, cin, w),
+        lambda bi, ri: (bi, jnp.maximum(ri * (th // 2) - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    post = pl.BlockSpec(
+        (1, 2, cin, w),
+        lambda bi, ri: (bi, jnp.minimum(ri * (th // 2) + th // 2,
+                                        (n_tiles * th) // 2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, th, cout, w), body_map,
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_conv_kernel, th=th, w=w, cin=cin, cout=cout,
+                             pack=pack)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pre, body, post,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, cout, w), x.dtype),
+        scratch_shapes=[pltpu.VMEM((9 * cin, pack * w), x.dtype)],
+        interpret=interpret,
+    )(x, x, x, wt)
+
+
 def pad_hcw(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, C, W) -> (B, H+2, C, W+2): the zero halo ring for the padded
     up-input path (the h/c path needs no pad — the kernel edge-masks)."""

@@ -36,7 +36,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import _pick_tile, fused_cell_rowmajor
+from .pallas_decode import (_pick_tile, conv3x3_rowmajor,
+                            fused_cell_rowmajor)
 
 
 def _bwd_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
@@ -176,31 +177,29 @@ def _cell_backward_dgates(h_prev, x_pad, c_prev, s_term, wt, dh, dc, *,
       dh, dc)
 
 
-def _conv_transpose_rowmajor(dg, wt, cin: int, ch: int, take):
+def _conv_transpose_rowmajor(dg, wt, cin: int, ch: int, take,
+                             interpret: bool = False):
     """dinput = conv3x3^T(dgates) for the slice of the packed weight
     selected by ``take`` ("x" or "h"): a SAME conv of dg (B, H, 4C, W)
-    with the spatially-flipped transposed kernels, in plain XLA on the
-    row-major layout (correct by construction; hot enough to move into a
-    kernel later if the trace says so)."""
-    b, h, _, w = dg.shape
-    # unpack wt (4C, 9*(cx+ch)) back to per-tap (cin, 4C) blocks
+    with the spatially-flipped transposed kernels, run through the
+    Pallas conv kernel (the 18 rowmajor XLA einsums this replaced were
+    the train backward's hottest non-encoder piece)."""
     cx_total = wt.shape[1] // 9 - ch
-    out = None
+    c_target = cx_total if take == "x" else ch
+    blocks = []
     for dy in range(3):
         for dx in range(3):
-            t = dy * 3 + dx
+            # the flipped source tap feeding output tap (dy, dx)
+            src = (2 - dy) * 3 + (2 - dx)
             if take == "x":
-                blk = wt[:, t * cx_total:(t + 1) * cx_total]       # (4C, cx)
+                blk = wt[:, src * cx_total:(src + 1) * cx_total]
             else:
                 base = 9 * cx_total
-                blk = wt[:, base + t * ch:base + (t + 1) * ch]     # (4C, ch)
-            # transposed conv: din[u] collects dg[u - (dy-1)] — the
-            # opposite shift of the forward tap
-            shifted = _shift2d(dg, 1 - dy, 1 - dx)
-            term = jnp.einsum("bhgw,gc->bhcw", shifted, blk,
-                              preferred_element_type=jnp.float32)
-            out = term if out is None else out + term
-    return out.astype(dg.dtype)
+                blk = wt[:, base + src * ch:base + (src + 1) * ch]
+            blocks.append(blk.T)                         # (c_target, 4C)
+    wpack = jnp.concatenate(blocks, axis=1)              # (c_target, 9*4C)
+    return conv3x3_rowmajor(dg, wpack, cin=4 * ch, cout=c_target,
+                            interpret=interpret)
 
 
 def _shift2d(x, sy: int, sx: int):
@@ -256,14 +255,16 @@ def make_fused_cell_vjp(cx: int, ch: int, interpret: bool = False):
             interpret=interpret)
         ds = dg
         dwt = _weight_grad(h_prev, x_pad, dg, cx, ch)
-        dh_prev = _conv_transpose_rowmajor(dg, wt, cx, ch, take="h")
+        dh_prev = _conv_transpose_rowmajor(dg, wt, cx, ch, take="h",
+                                           interpret=interpret)
         if cx:
             # ring entries of x_pad do reach edge gates, but their
             # cotangent is dropped (zero ring): every producer of x_pad
             # in this codebase writes a structurally-zero ring (the
             # pad-fused upsample matrices), whose own transpose kills
             # those grads anyway — the composed gradient is exact.
-            dx = _conv_transpose_rowmajor(dg, wt, cx, ch, take="x")
+            dx = _conv_transpose_rowmajor(dg, wt, cx, ch, take="x",
+                                          interpret=interpret)
             dx_pad = jnp.pad(dx, ((0, 0), (1, 1), (0, 0), (1, 1)))
         else:
             dx_pad = jnp.zeros_like(x_pad) if x_pad is not None else None

@@ -75,6 +75,10 @@ class Config:
 
     # augmentation
     augment: bool = False
+    # checkpoint on-disk format: "msgpack" (single-host flax bytes, the
+    # round-1 format) or "orbax" (sharded arrays with shardings preserved
+    # — the multi-host/multi-chip format); loads accept either
+    checkpoint_format: str = "msgpack"
     # flip + fused affine run inside the jitted train step on device
     # (zero host-side warp work); set False to fall back to the host
     # per-sample path (data/base.py), e.g. for parity debugging
@@ -237,6 +241,8 @@ def get_parser() -> argparse.ArgumentParser:
     flag("--augment", dest="augment", action="store_true", default=d.augment)
     flag("--host_augment", dest="augment_on_device", action="store_false",
          default=d.augment_on_device)
+    flag("-checkpoint_format", dest="checkpoint_format",
+         choices=["msgpack", "orbax"], default=d.checkpoint_format)
     flag("-rotation", dest="rotation", type=int, default=d.rotation)
     flag("-translation", dest="translation", type=float, default=d.translation)
     flag("-shear", dest="shear", type=float, default=d.shear)

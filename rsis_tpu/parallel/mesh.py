@@ -28,9 +28,31 @@ def create_mesh(num_devices: int = 0,
     return Mesh(np.array(devs), axis_names=("data",))
 
 
+def create_multislice_mesh(num_slices: int, per_slice: int = 0,
+                           devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ("dcn", "data") mesh for multi-slice pods: the outer axis maps
+    across slices (DCN links), the inner axis within a slice (ICI links).
+
+    Batches shard over BOTH axes (batch_sharding flattens the mesh), so
+    the gradient all-reduce decomposes into an ICI reduce-scatter within
+    each slice followed by a small DCN cross-slice reduce — XLA derives
+    that hierarchy from the mesh axis order; no hand-written collectives.
+    On real pods pass devices pre-ordered so the outer axis aligns with
+    slice boundaries (jax.devices() already is); the 8-device virtual CPU
+    mesh validates the sharding program in tests.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    per_slice = per_slice or len(devs) // num_slices
+    devs = devs[:num_slices * per_slice]
+    grid = np.array(devs).reshape(num_slices, per_slice)
+    return Mesh(grid, axis_names=("dcn", "data"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, P("data"))
+    """Shard the leading (batch) axis over every mesh axis (data-parallel
+    over the flattened device grid; for multi-slice meshes that nests
+    slice-major over DCN, device-minor over ICI)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -46,7 +68,7 @@ def shard_batch(mesh: Mesh, batch):
     zero sample weights — the loaders use drop_last instead, see
     train/loop.py).
     """
-    n = mesh.shape["data"]
+    n = int(np.prod(list(mesh.shape.values())))
     for leaf in jax.tree.leaves(batch):
         if leaf.shape[0] % n != 0:
             raise ValueError(

@@ -186,6 +186,32 @@ class TestDataParallel:
             assert np.abs(a - b).max() < 1e-4 * scale + 1e-7, (
                 jax.tree_util.keystr(path), np.abs(a - b).max(), scale)
 
+    def test_multislice_mesh_matches_single_device(self):
+        """(2, 4) dcn x data mesh: the hierarchical all-reduce (ICI within
+        a slice, DCN across) must reproduce single-device gradients/params
+        like the flat mesh does."""
+        from rsis_tpu.parallel.mesh import create_multislice_mesh
+        cfg = CFG.replace(batch_size=8)
+        variables = init_variables(cfg, jax.random.PRNGKey(6))
+        state = create_train_state(cfg, variables)
+        batch = make_batch(cfg, n=8, seed=9)
+        flags = StepFlags(jnp.float32(1), jnp.float32(0), jnp.float32(0))
+        rng = jax.random.PRNGKey(13)
+
+        train_single, _ = make_train_step(cfg, donate=False)
+        s1, m1 = train_single(state, batch, flags, rng)
+
+        mesh = create_multislice_mesh(num_slices=2, per_slice=4)
+        assert dict(mesh.shape) == {"dcn": 2, "data": 4}
+        train_ms, _ = make_train_step(cfg, mesh=mesh, donate=False)
+        s2, m2 = train_ms(state, shard_batch(mesh, batch), flags, rng)
+
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   rtol=2e-3, atol=2e-5)
+        d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         s1.params["decoder"], s2.params["decoder"])
+        assert max(jax.tree.leaves(d)) < 2e-4
+
     def test_uneven_batch_rejected(self):
         mesh = create_mesh(4)
         bad = (np.zeros((6, 8, 8, 3), np.float32),)

@@ -123,6 +123,12 @@ class Trainer:
         # metrics.jsonl + optional mask snapshots: the visdom-dashboard
         # analogue (reference: src/train.py:294-297,366-395)
         monitor = Monitor(model_dir(cfg), enable_snapshots=cfg.visdom)
+        if cfg.visdom:
+            # the reference's visdom live server, self-contained
+            # (reference: src/train.py:294-297); serves loss curves +
+            # mask snapshots from the monitor's files on cfg.port
+            from ..utils.dashboard import Dashboard
+            Dashboard(model_dir(cfg), port=cfg.port).start()
 
         best_val_loss = cfg.best_val_loss
         acc_patience = 0

@@ -276,7 +276,7 @@ def get_parser() -> argparse.ArgumentParser:
     flag("--resize", dest="resize", action="store_true", default=d.resize)
     flag("-num_classes", dest="num_classes", type=int, default=d.num_classes)
     flag("-dataset", dest="dataset", default=d.dataset,
-         choices=["pascal", "cityscapes", "leaves"])
+         choices=["pascal", "cityscapes", "leaves", "synthetic"])
     flag("-pascal_dir", dest="pascal_dir", default=d.pascal_dir)
     flag("-cityscapes_dir", dest="cityscapes_dir", default=d.cityscapes_dir)
     flag("-leaves_dir", dest="leaves_dir", default=d.leaves_dir)

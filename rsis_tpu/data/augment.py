@@ -212,8 +212,14 @@ class Zoom(_FixedAffine):
                          interp)
 
 
-class RandomChoiceRotate:
-    """Rotate by a value drawn from a list (reference RandomChoiceRotate)."""
+class _RandomChoice:
+    """Apply a fixed transform with a parameter drawn from a list — the
+    reference's RandomChoice{Rotate,Translate,Shear,Zoom} family
+    (src/dataloader/transforms/transforms.py; th_random_choice in
+    transforms/utils.py:357). Unused by the training pipeline but part of
+    the transforms surface."""
+
+    transform = None  # subclass hook
 
     def __init__(self, values, interp: str = "bilinear",
                  rng: np.random.Generator | None = None):
@@ -221,6 +227,31 @@ class RandomChoiceRotate:
         self.interp = interp
         self.rng = rng or np.random.default_rng()
 
+    def _pick(self):
+        return self.values[int(self.rng.integers(len(self.values)))]
+
     def __call__(self, *arrays):
-        deg = self.values[int(self.rng.integers(len(self.values)))]
-        return Rotate(deg, self.interp)(*arrays)
+        v = self._pick()
+        args = v if isinstance(v, (tuple, list)) else (v,)
+        return type(self).transform(*args, interp=self.interp)(*arrays)
+
+
+class RandomChoiceRotate(_RandomChoice):
+    transform = Rotate
+
+
+class RandomChoiceTranslate(_RandomChoice):
+    """values: (height_frac, width_frac) pairs or scalars used for both."""
+
+    def __call__(self, *arrays):
+        v = self._pick()
+        hf, wf = (v if isinstance(v, (tuple, list)) else (v, v))
+        return Translate(hf, wf, interp=self.interp)(*arrays)
+
+
+class RandomChoiceShear(_RandomChoice):
+    transform = Shear
+
+
+class RandomChoiceZoom(_RandomChoice):
+    transform = Zoom

@@ -201,6 +201,13 @@ class COCOeval:
         return ious
 
     def evaluateImg(self, imgId, catId, aRng, maxDet):
+        """Greedy per-image matching. This follows the COCO matching
+        PROTOCOL step-for-step (descending-score detections, crowd GTs
+        matchable repeatedly, ignored GTs sorted last and only reachable
+        once no real match exists, out-of-area dts ignored post hoc) —
+        any structural deviation changes reported AP, so the loop shape
+        is the specification, pinned tensor-exactly against the
+        reference's vendored pycocotools by tests/test_coco_golden.py."""
         p = self.params
         if p.useCats:
             gt = self._gts[imgId, catId]

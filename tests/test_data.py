@@ -179,3 +179,29 @@ class TestLoaderAndSynthetic:
         img, tgt = ds[0]
         assert img.shape == (32, 32, 3)
         assert np.isfinite(img).all()
+
+
+def test_random_choice_wrapper_family():
+    """The reference's RandomChoice{Rotate,Translate,Shear,Zoom} surface:
+    each must equal its fixed transform at the drawn value."""
+    import numpy as np
+    from rsis_tpu.data.augment import (
+        Rotate, Shear, Translate, Zoom, RandomChoiceRotate,
+        RandomChoiceShear, RandomChoiceTranslate, RandomChoiceZoom)
+
+    img = np.random.default_rng(0).normal(size=(3, 20, 24)).astype(
+        np.float32)
+    rng = np.random.default_rng(5)
+    deg = RandomChoiceRotate([7.0], rng=rng)(img)
+    np.testing.assert_array_equal(deg, Rotate(7.0)(img))
+    tr = RandomChoiceTranslate([(0.1, -0.05)], rng=rng)(img)
+    np.testing.assert_array_equal(tr, Translate(0.1, -0.05)(img))
+    sh = RandomChoiceShear([4.0], rng=rng)(img)
+    np.testing.assert_array_equal(sh, Shear(4.0)(img))
+    zm = RandomChoiceZoom([0.8], rng=rng)(img)
+    np.testing.assert_array_equal(zm, Zoom(0.8)(img))
+    # multi-value draw stays within the list
+    outs = {RandomChoiceRotate([3.0, -3.0], rng=rng)(img).tobytes()
+            for _ in range(8)}
+    want = {Rotate(3.0)(img).tobytes(), Rotate(-3.0)(img).tobytes()}
+    assert outs <= want and len(outs) >= 1

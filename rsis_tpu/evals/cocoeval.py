@@ -55,6 +55,9 @@ class Params:
         else:
             raise ValueError(f"iouType {iouType!r} not supported")
         self.iouType = iouType
+        # deprecated upstream escape hatch, kept for API parity
+        # (reference cocoeval.py:527-528, handled in evaluate:142-145)
+        self.useSegm = None
 
 
 class COCOeval:
@@ -110,6 +113,10 @@ class COCOeval:
         tic = time.time()
         print("Running per image evaluation...")
         p = self.params
+        if getattr(p, "useSegm", None) is not None:
+            p.iouType = "segm" if p.useSegm == 1 else "bbox"
+            print(f"useSegm (deprecated) is not None. "
+                  f"Running {p.iouType} evaluation")
         p.imgIds = list(np.unique(p.imgIds))
         if p.useCats:
             p.catIds = list(np.unique(p.catIds))

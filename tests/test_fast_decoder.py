@@ -15,10 +15,13 @@ from rsis_tpu.ops.mask_head import mask_head_fused
 from rsis_tpu.ops.upsample import upsample_bilinear_align_corners
 
 
-def make_setup(skip_mode="concat", hidden=16, b=2, seed=0):
+def make_setup(skip_mode="concat", hidden=16, b=2, seed=0, scale=1):
     rng = np.random.default_rng(seed)
     geoms = [(hidden, 2, 4), (hidden, 4, 8), (hidden // 2, 8, 16),
              (hidden // 4, 16, 32), (hidden // 8, 32, 64)]
+    if scale > 1:  # shrink the fine cells for interpret-mode tests
+        geoms = [(c, max(hh // scale, 2), max(ww // scale, 4))
+                 for (c, hh, ww) in geoms]
     skips = [jnp.asarray(rng.normal(size=(b, hh, ww, c)).astype(np.float32))
              for (c, hh, ww) in geoms]
     dec = RSISDecoder(hidden_size=hidden, num_classes=4,

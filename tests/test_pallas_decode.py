@@ -32,12 +32,12 @@ def from_rowmajor(x_bhcw):
 
 
 GEOMS = [
-    # (H, W, Cx, C) — mirror of the decoder pyramid at small scale, incl.
-    # a no-up-input cell (cell0) and a W<128 lane-packing case
-    (16, 32, 0, 16),
+    # (H, W, Cx, C) — one geometry per distinct kernel code path (interpret
+    # mode executes the unrolled kernel per grid point, so keep these
+    # minimal): no-up-input (cell0), lane-packing W<128, full-lane W=128
+    (8, 32, 0, 16),
     (8, 16, 16, 8),
-    (16, 128, 8, 4),
-    (32, 64, 4, 8),
+    (8, 128, 8, 4),
 ]
 
 

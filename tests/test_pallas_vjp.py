@@ -26,9 +26,9 @@ def reference_cell_rowmajor(x, hp, cp, kern, s):
 
 
 GEOMS = [
-    (8, 16, 16, 8),    # up-input cell
-    (16, 32, 0, 16),   # no-up-input cell (cell0)
-    (16, 128, 8, 4),   # lane-pack path
+    (8, 16, 16, 8),    # up-input cell (lane-packed)
+    (8, 32, 0, 16),    # no-up-input cell (cell0)
+    (8, 128, 8, 4),    # full-lane path
 ]
 
 

@@ -12,7 +12,13 @@ from rsis_tpu.models.rowmajor_decoder import (
     decode_sequence_rowmajor, rowmajor_decoder_step)
 from rsis_tpu.models.rsis import decode_sequence
 from rsis_tpu.ops.upsample import upsample_bilinear_align_corners
-from tests.test_fast_decoder import make_setup
+from tests.test_fast_decoder import make_setup as _make_setup
+
+
+def make_setup(skip_mode="concat"):
+    # half-spatial pyramid: interpret mode executes the unrolled kernels
+    # per grid point, so the finest 32x64 cell dominated suite time
+    return _make_setup(skip_mode=skip_mode, b=1, scale=2)
 
 
 class TestRowmajorUpsample:

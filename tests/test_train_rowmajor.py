@@ -43,7 +43,7 @@ def _grad_fn(cfg):
 def test_rowmajor_train_grads_match_flax():
     # H=32 pyramid: 1,2,4,8,16 — needs the pallas="on" even-H override
     cfg_rm = Config(dataset="synthetic", base_model="tiny", hidden_size=16,
-                    num_classes=3, imsize=32, maxseqlen=3, gt_maxseqlen=5,
+                    num_classes=3, imsize=32, maxseqlen=2, gt_maxseqlen=4,
                     batch_size=2, resize=True, pallas="on",
                     compute_dtype="float32")
     cfg_fx = cfg_rm.replace(pallas="off")
@@ -69,7 +69,7 @@ def test_rowmajor_train_grads_match_flax():
 
 def test_rowmajor_train_step_runs_and_descends():
     cfg = Config(dataset="synthetic", base_model="tiny", hidden_size=16,
-                 num_classes=3, imsize=32, maxseqlen=3, gt_maxseqlen=5,
+                 num_classes=3, imsize=32, maxseqlen=2, gt_maxseqlen=4,
                  batch_size=2, resize=True, pallas="on", lr=1e-3,
                  compute_dtype="float32")
     variables = init_variables(cfg, jax.random.PRNGKey(0))

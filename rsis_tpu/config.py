@@ -92,6 +92,10 @@ class Config:
     use_gpu: bool = True          # kept for CLI compatibility; ignored on TPU
     ngpus: int = 1                # kept for CLI compatibility
     num_devices: int = 0          # 0 = all visible devices (data-parallel mesh)
+    # multi-host launch (parallel/distributed.py); all None = single host
+    coordinator: str | None = None
+    num_processes: int | None = None
+    process_id: int | None = None
     compute_dtype: str = "float32"  # or "bfloat16"
     pallas: str = "auto"          # fused inference kernels: auto|on|off
 
@@ -252,6 +256,10 @@ def get_parser() -> argparse.ArgumentParser:
     flag("--cpu", dest="use_gpu", action="store_false", default=d.use_gpu)
     flag("-ngpus", dest="ngpus", type=int, default=d.ngpus)
     flag("-num_devices", dest="num_devices", type=int, default=d.num_devices)
+    flag("-coordinator", dest="coordinator", type=str, default=d.coordinator)
+    flag("-num_processes", dest="num_processes", type=int,
+         default=d.num_processes)
+    flag("-process_id", dest="process_id", type=int, default=d.process_id)
     flag("-compute_dtype", dest="compute_dtype", default=d.compute_dtype,
          choices=["float32", "bfloat16"])
     flag("-pallas", dest="pallas", default=d.pallas,

@@ -4,10 +4,10 @@ The reference escapes to CPU and runs the pure-Python Munkres solver per
 sample per step (reference: src/train.py:110-145, src/utils/hungarian.py:
 91-125), costing a GPU->CPU->GPU round-trip every training step. Here the
 whole batch is solved inside the XLA program: a Jonker-Volgenant shortest
-augmenting path solver over fixed-shape (N, N) matrices, expressed with
-``lax.while_loop``/``fori_loop`` and vmapped over the batch. For the RSIS
-workload N = gt_maxseqlen = 20, so each solve is trivially cheap; the win is
-never leaving the device.
+augmenting path solver over fixed-shape (N, N) matrices, python-unrolled
+(see _solve_square) and vmapped over the batch. For the RSIS workload
+N = gt_maxseqlen = 20, each solve is trivially cheap; the win is never
+leaving the device.
 
 Rectangular cost matrices are handled the way the Munkres library pads them:
 extra columns get cost 0, which yields the same optimal assignment over the
@@ -20,7 +20,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_INF = jnp.float32(1e9)
+# plain float, NOT jnp.float32(...): a module-level device constant would
+# initialise the XLA backend at import time, breaking
+# jax.distributed.initialize (which must run before any backend use)
+_INF = 1e9
 
 
 def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:

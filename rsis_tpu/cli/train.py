@@ -15,7 +15,8 @@ from ..train.loop import train
 def main(argv=None):
     cfg = config_from_args(argv)
     from ..parallel.distributed import initialize
-    if initialize(cfg.coordinator, cfg.num_processes, cfg.process_id):
+    if initialize(cfg.coordinator, cfg.num_processes, cfg.process_id,
+                  auto=cfg.multihost):
         import jax
         print(f"multi-host: process {jax.process_index()}/"
               f"{jax.process_count()}, {jax.device_count()} global devices")

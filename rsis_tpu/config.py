@@ -96,6 +96,7 @@ class Config:
     coordinator: str | None = None
     num_processes: int | None = None
     process_id: int | None = None
+    multihost: bool = False       # Cloud-TPU topology auto-discovery
     compute_dtype: str = "float32"  # or "bfloat16"
     pallas: str = "auto"          # fused inference kernels: auto|on|off
 
@@ -260,6 +261,8 @@ def get_parser() -> argparse.ArgumentParser:
     flag("-num_processes", dest="num_processes", type=int,
          default=d.num_processes)
     flag("-process_id", dest="process_id", type=int, default=d.process_id)
+    flag("--multihost", dest="multihost", action="store_true",
+         default=d.multihost)
     flag("-compute_dtype", dest="compute_dtype", default=d.compute_dtype,
          choices=["float32", "bfloat16"])
     flag("-pallas", dest="pallas", default=d.pallas,

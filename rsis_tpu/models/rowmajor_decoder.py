@@ -187,6 +187,29 @@ def decode_sequence_rowmajor(dec_params: dict, skips, T: int,
     return masks, clss, stops
 
 
+def training_rowmajor_selected(cfg, skips, single_device: bool = True
+                               ) -> bool:
+    """Whether the training step routes through the differentiable Pallas
+    cells. Exposed so tests can assert which path they are exercising
+    (a prior test silently compared the XLA path to flax because the
+    tiny pyramid's H=1 failed the geometry guard)."""
+    if cfg.pallas == "off" or cfg.skip_mode not in ("concat", "sum",
+                                                    "none"):
+        return False
+    if not all(s.shape[1] % 2 == 0 for s in skips):
+        return False  # the kernels' 2-row halo blocks need even H
+    # pallas="on" forces the kernels anywhere (interpret off-TPU — slow
+    # but exact, used by the CPU parity tests); "auto" gates on hardware
+    # and, until the kernels get a shard_map wrapper, on a single-device
+    # step (under GSPMD auto-partitioning a pallas_call has no
+    # partitioning rule — see make_train_step, which falls back to the
+    # XLA fast path on multi-device meshes)
+    if cfg.pallas == "on":
+        return True
+    return (single_device and jax.default_backend() == "tpu"
+            and all(s.shape[1] % 8 == 0 for s in skips))
+
+
 def rowmajor_path_available(cfg, skips=None, platform: str | None = None
                             ) -> bool:
     """The Pallas row-major decode needs channel-separable skip fusion and

@@ -118,7 +118,12 @@ def forward(cfg: Config, variables, x: jnp.ndarray, T: int | None = None):
         masks, clss, stops = decode_sequence_rowmajor(
             variables["params"]["decoder"], skips, T, cfg.hidden_size,
             cfg.skip_mode, dtype=compute_dtype(cfg))
-    elif want_fast and fused_path_available(cfg):
+    elif want_fast and (fused_path_available(cfg)
+                        or (cfg.pallas == "on"
+                            and cfg.skip_mode in ("concat", "sum",
+                                                  "none"))):
+        # pallas="on" forces the hoisted fast path even off-TPU (exact
+        # math on any platform; the Pallas kernels themselves need TPU)
         masks, clss, stops = decode_sequence_fused(
             variables["params"]["decoder"], skips, T, cfg.hidden_size,
             cfg.skip_mode, dtype=compute_dtype(cfg))

@@ -65,6 +65,92 @@ def pack_cell_weights(kernel: jnp.ndarray, cx: int, ch: int,
     return jnp.concatenate(parts, axis=0).T   # (4C, K)
 
 
+def _edge_masked_row_fn(pre_ref, body_ref, post_ref, th, dt):
+    """Row accessor over the pre/body/post halo blocks of an UNPADDED
+    input: tap row r in [-1, th+1], with out-of-image halo contributions
+    masked to zero by grid position."""
+    ri = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    mask_top = jnp.where(ri > 0, 1, 0).astype(dt)
+    mask_bot = jnp.where(ri < n_tiles - 1, 1, 0).astype(dt)
+
+    def row(r):
+        if r < 0:
+            return pre_ref[0, 2 + r] * mask_top
+        if r < th:
+            return body_ref[0, r]
+        return post_ref[0, r - th] * mask_bot
+
+    return row
+
+
+def _stack_shifted_taps(xrow_ref, row_fn, cn, w, pack, y0, off):
+    """Write the 9 conv taps of an UNPADDED input into xrow rows
+    [off, off+9*cn): lane-shifted copies with zero-filled edge columns
+    (SAME padding without touching HBM). Returns the next row offset."""
+    zcol = jnp.zeros((1, 1), xrow_ref.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            for p in range(pack):
+                slab = row_fn(y0 + p + dy - 1)          # (cn, W)
+                lo, hi = p * w, (p + 1) * w
+                if dx == 0:      # left neighbour: shift right, zero col
+                    xrow_ref[off:off + cn, lo + 1:hi] = slab[:, :w - 1]
+                    xrow_ref[off:off + cn, lo:lo + 1] = \
+                        jnp.broadcast_to(zcol, (cn, 1))
+                elif dx == 1:
+                    xrow_ref[off:off + cn, lo:hi] = slab
+                else:            # right neighbour: shift left, zero col
+                    xrow_ref[off:off + cn, lo:hi - 1] = slab[:, 1:]
+                    xrow_ref[off:off + cn, hi - 1:hi] = \
+                        jnp.broadcast_to(zcol, (cn, 1))
+            off += cn
+    return off
+
+
+def _stack_padded_taps(xrow_ref, x_row_fn, cn, w, pack, y0, off):
+    """Write the 9 conv taps of a PRE-PADDED input (rows/cols carry the
+    zero halo already) into xrow rows [off, off+9*cn)."""
+    for dy in range(3):
+        for dx in range(3):
+            for p in range(pack):
+                xrow_ref[off:off + cn, p * w:(p + 1) * w] = \
+                    x_row_fn(y0 + p + dy)[:, dx:dx + w]
+            off += cn
+    return off
+
+
+def _gates_geometry(h: int, w: int):
+    """(tile height, lane pack) for a row-major kernel over (H, W)."""
+    if h % 2:
+        raise ValueError(
+            f"H={h} must be even (the 2-row halo blocks' index maps are "
+            "off by one for odd tile heights)")
+    th = _pick_tile(h)
+    pack = max(1, 128 // w)
+    while th % pack != 0:
+        pack //= 2
+    return th, pack
+
+
+def _halo_block_specs(th, c, w, n_tiles):
+    """(pre, body, post) BlockSpecs for the unpadded masked-halo reads:
+    aligned 2-row halo blocks whose edge-tile indices clamp in range (the
+    kernel masks their contribution)."""
+    body = pl.BlockSpec((1, th, c, w), lambda bi, ri: (bi, ri, 0, 0),
+                        memory_space=pltpu.VMEM)
+    pre = pl.BlockSpec(
+        (1, 2, c, w),
+        lambda bi, ri: (bi, jnp.maximum(ri * (th // 2) - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM)
+    post = pl.BlockSpec(
+        (1, 2, c, w),
+        lambda bi, ri: (bi, jnp.minimum(ri * (th // 2) + th // 2,
+                                        (n_tiles * th) // 2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    return pre, body, post
+
+
 def _cell_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
                  wt_ref, h_out, c_out, xrow_ref, *, th, w, cx, ch, pack):
     """One row-tile: th output rows of one batch element.
@@ -77,53 +163,19 @@ def _cell_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
     wt (4C, K). Outputs (1, th, C, W). xrow_ref: (K, pack*W) VMEM scratch
     holding the stacked conv taps.
     """
-    ri = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
-    dt = xrow_ref.dtype
-    mask_top = jnp.where(ri > 0, 1, 0).astype(dt)
-    mask_bot = jnp.where(ri < n_tiles - 1, 1, 0).astype(dt)
-
-    def h_row(r):
-        # tap row r in [-1, th+1] of the unpadded h, edge-masked
-        if r < 0:
-            return hpre_ref[0, 2 + r] * mask_top
-        if r < th:
-            return hb_ref[0, r]
-        return hpost_ref[0, r - th] * mask_bot
+    h_row = _edge_masked_row_fn(hpre_ref, hb_ref, hpost_ref, th,
+                                xrow_ref.dtype)
 
     def x_row(r):
         # padded up-input row r in [0, th+2)
         return xb_ref[0, r] if r < th else xh_ref[0, r - th]
 
-    zcol = jnp.zeros((1, 1), dt)
-
     for y0 in range(0, th, pack):
         # ---- build xrow (K, pack*W): 9 x-taps then 9 h-taps ----
         off = 0
-        for dy in range(3):
-            for dx in range(3):
-                if cx == 0:
-                    continue
-                for p in range(pack):
-                    xrow_ref[off:off + cx, p * w:(p + 1) * w] = \
-                        x_row(y0 + p + dy)[:, dx:dx + w]
-                off += cx
-        for dy in range(3):
-            for dx in range(3):
-                for p in range(pack):
-                    slab = h_row(y0 + p + dy - 1)       # (C, W)
-                    lo, hi = p * w, (p + 1) * w
-                    if dx == 0:      # left neighbour: shift right, zero col
-                        xrow_ref[off:off + ch, lo + 1:hi] = slab[:, :w - 1]
-                        xrow_ref[off:off + ch, lo:lo + 1] = \
-                            jnp.broadcast_to(zcol, (ch, 1))
-                    elif dx == 1:
-                        xrow_ref[off:off + ch, lo:hi] = slab
-                    else:            # right neighbour: shift left, zero col
-                        xrow_ref[off:off + ch, lo:hi - 1] = slab[:, 1:]
-                        xrow_ref[off:off + ch, hi - 1:hi] = \
-                            jnp.broadcast_to(zcol, (ch, 1))
-                off += ch
+        if cx:
+            off = _stack_padded_taps(xrow_ref, x_row, cx, w, pack, y0, off)
+        _stack_shifted_taps(xrow_ref, h_row, ch, w, pack, y0, off)
 
         gates = jnp.dot(wt_ref[...], xrow_ref[...],
                         preferred_element_type=jnp.float32)  # (4C, pack*W)
@@ -153,38 +205,10 @@ def _conv_kernel(pre_ref, body_ref, post_ref, wt_ref, out_ref, xrow_ref,
                  *, th, w, cin, cout, pack):
     """Plain 3x3 SAME conv row-tile: out = W^T @ xrow. Same unpadded
     masked-halo layout as the cell kernel, no epilogue."""
-    ri = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
-    dt = xrow_ref.dtype
-    mask_top = jnp.where(ri > 0, 1, 0).astype(dt)
-    mask_bot = jnp.where(ri < n_tiles - 1, 1, 0).astype(dt)
-
-    def row(r):
-        if r < 0:
-            return pre_ref[0, 2 + r] * mask_top
-        if r < th:
-            return body_ref[0, r]
-        return post_ref[0, r - th] * mask_bot
-
-    zcol = jnp.zeros((1, 1), dt)
+    row = _edge_masked_row_fn(pre_ref, body_ref, post_ref, th,
+                              xrow_ref.dtype)
     for y0 in range(0, th, pack):
-        off = 0
-        for dy in range(3):
-            for dx in range(3):
-                for p in range(pack):
-                    slab = row(y0 + p + dy - 1)
-                    lo, hi = p * w, (p + 1) * w
-                    if dx == 0:
-                        xrow_ref[off:off + cin, lo + 1:hi] = slab[:, :w - 1]
-                        xrow_ref[off:off + cin, lo:lo + 1] = \
-                            jnp.broadcast_to(zcol, (cin, 1))
-                    elif dx == 1:
-                        xrow_ref[off:off + cin, lo:hi] = slab
-                    else:
-                        xrow_ref[off:off + cin, lo:hi - 1] = slab[:, 1:]
-                        xrow_ref[off:off + cin, hi - 1:hi] = \
-                            jnp.broadcast_to(zcol, (cin, 1))
-                off += cin
+        _stack_shifted_taps(xrow_ref, row, cin, w, pack, y0, 0)
         out = jnp.dot(wt_ref[...], xrow_ref[...],
                       preferred_element_type=jnp.float32)
         for p in range(pack):
@@ -200,27 +224,11 @@ def conv3x3_rowmajor(x: jnp.ndarray, wt: jnp.ndarray, *, cin: int,
     pack_cell_weights). Used by the cell VJP for the transposed convs."""
     b, h, c_dim, w = x.shape
     assert c_dim == cin
-    th = _pick_tile(h)
-    pack = max(1, 128 // w)
-    while th % pack != 0:
-        pack //= 2
+    th, pack = _gates_geometry(h, w)
     grid = (b, h // th)
-    n_tiles = h // th
-
-    def body_map(bi, ri):
-        return (bi, ri, 0, 0)
-
-    body = pl.BlockSpec((1, th, cin, w), body_map, memory_space=pltpu.VMEM)
-    pre = pl.BlockSpec(
-        (1, 2, cin, w),
-        lambda bi, ri: (bi, jnp.maximum(ri * (th // 2) - 1, 0), 0, 0),
-        memory_space=pltpu.VMEM)
-    post = pl.BlockSpec(
-        (1, 2, cin, w),
-        lambda bi, ri: (bi, jnp.minimum(ri * (th // 2) + th // 2,
-                                        (n_tiles * th) // 2 - 1), 0, 0),
-        memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, th, cout, w), body_map,
+    pre, body, post = _halo_block_specs(th, cin, w, h // th)
+    out_spec = pl.BlockSpec((1, th, cout, w),
+                            lambda bi, ri: (bi, ri, 0, 0),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_conv_kernel, th=th, w=w, cin=cin, cout=cout,
                              pack=pack)
@@ -263,10 +271,7 @@ def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
     b, h, c_dim, w = h_prev.shape
     assert c_dim == ch and c_prev.shape == (b, h, ch, w)
     assert s_term.shape == (b, h, 4 * ch, w), s_term.shape
-    th = _pick_tile(h)
-    pack = max(1, 128 // w)
-    while th % pack != 0:
-        pack //= 2
+    th, pack = _gates_geometry(h, w)
     dtype = h_prev.dtype
     if x_pad is None:
         assert cx == 0
@@ -275,23 +280,11 @@ def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
         assert x_pad.shape == (b, h + 2, cx, w + 2), x_pad.shape
 
     grid = (b, h // th)
-    n_tiles = h // th
 
     def body_map(bi, ri):
         return (bi, ri, 0, 0)
 
-    h_body = pl.BlockSpec((1, th, ch, w), body_map, memory_space=pltpu.VMEM)
-    # aligned 2-row halo blocks of the unpadded h; edge tiles clamp the
-    # index (their contribution is masked inside the kernel)
-    h_pre = pl.BlockSpec(
-        (1, 2, ch, w),
-        lambda bi, ri: (bi, jnp.maximum(ri * (th // 2) - 1, 0), 0, 0),
-        memory_space=pltpu.VMEM)
-    h_post = pl.BlockSpec(
-        (1, 2, ch, w),
-        lambda bi, ri: (bi, jnp.minimum(ri * (th // 2) + th // 2,
-                                        (n_tiles * th) // 2 - 1), 0, 0),
-        memory_space=pltpu.VMEM)
+    h_pre, h_body, h_post = _halo_block_specs(th, ch, w, h // th)
     x_body = pl.BlockSpec((1, th, x_pad.shape[2], x_pad.shape[3]), body_map,
                           memory_space=pltpu.VMEM)
     x_halo = pl.BlockSpec(

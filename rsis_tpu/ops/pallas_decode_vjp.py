@@ -36,7 +36,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import (_pick_tile, conv3x3_rowmajor,
+from .pallas_decode import (_edge_masked_row_fn, _gates_geometry,
+                            _halo_block_specs, _stack_padded_taps,
+                            _stack_shifted_taps, conv3x3_rowmajor,
                             fused_cell_rowmajor)
 
 
@@ -45,50 +47,17 @@ def _bwd_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
                 *, th, w, cx, ch, pack):
     """Recompute gates, emit pre-activation dgates (1, th, 4C, W) and
     dc_prev (1, th, C, W). Same block layout as the forward kernel."""
-    ri = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
-    dt = xrow_ref.dtype
-    mask_top = jnp.where(ri > 0, 1, 0).astype(dt)
-    mask_bot = jnp.where(ri < n_tiles - 1, 1, 0).astype(dt)
-
-    def h_row(r):
-        if r < 0:
-            return hpre_ref[0, 2 + r] * mask_top
-        if r < th:
-            return hb_ref[0, r]
-        return hpost_ref[0, r - th] * mask_bot
+    h_row = _edge_masked_row_fn(hpre_ref, hb_ref, hpost_ref, th,
+                                xrow_ref.dtype)
 
     def x_row(r):
         return xb_ref[0, r] if r < th else xh_ref[0, r - th]
 
-    zcol = jnp.zeros((1, 1), dt)
-
     for y0 in range(0, th, pack):
         off = 0
-        for dy in range(3):
-            for dx in range(3):
-                if cx == 0:
-                    continue
-                for p in range(pack):
-                    xrow_ref[off:off + cx, p * w:(p + 1) * w] = \
-                        x_row(y0 + p + dy)[:, dx:dx + w]
-                off += cx
-        for dy in range(3):
-            for dx in range(3):
-                for p in range(pack):
-                    slab = h_row(y0 + p + dy - 1)
-                    lo, hi = p * w, (p + 1) * w
-                    if dx == 0:
-                        xrow_ref[off:off + ch, lo + 1:hi] = slab[:, :w - 1]
-                        xrow_ref[off:off + ch, lo:lo + 1] = \
-                            jnp.broadcast_to(zcol, (ch, 1))
-                    elif dx == 1:
-                        xrow_ref[off:off + ch, lo:hi] = slab
-                    else:
-                        xrow_ref[off:off + ch, lo:hi - 1] = slab[:, 1:]
-                        xrow_ref[off:off + ch, hi - 1:hi] = \
-                            jnp.broadcast_to(zcol, (ch, 1))
-                off += ch
+        if cx:
+            off = _stack_padded_taps(xrow_ref, x_row, cx, w, pack, y0, off)
+        _stack_shifted_taps(xrow_ref, h_row, ch, w, pack, y0, off)
 
         gates = jnp.dot(wt_ref[...], xrow_ref[...],
                         preferred_element_type=jnp.float32)
@@ -123,31 +92,18 @@ def _bwd_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
 def _cell_backward_dgates(h_prev, x_pad, c_prev, s_term, wt, dh, dc, *,
                           cx: int, ch: int, interpret: bool = False):
     b, h, _, w = h_prev.shape
-    th = _pick_tile(h)
-    pack = max(1, 128 // w)
-    while th % pack != 0:
-        pack //= 2
+    th, pack = _gates_geometry(h, w)
     dtype = h_prev.dtype
     if x_pad is None:
         assert cx == 0
         x_pad = h_prev
 
     grid = (b, h // th)
-    n_tiles = h // th
 
     def body_map(bi, ri):
         return (bi, ri, 0, 0)
 
-    h_body = pl.BlockSpec((1, th, ch, w), body_map, memory_space=pltpu.VMEM)
-    h_pre = pl.BlockSpec(
-        (1, 2, ch, w),
-        lambda bi, ri: (bi, jnp.maximum(ri * (th // 2) - 1, 0), 0, 0),
-        memory_space=pltpu.VMEM)
-    h_post = pl.BlockSpec(
-        (1, 2, ch, w),
-        lambda bi, ri: (bi, jnp.minimum(ri * (th // 2) + th // 2,
-                                        (n_tiles * th) // 2 - 1), 0, 0),
-        memory_space=pltpu.VMEM)
+    h_pre, h_body, h_post = _halo_block_specs(th, ch, w, h // th)
     x_body = pl.BlockSpec((1, th, x_pad.shape[2], x_pad.shape[3]), body_map,
                           memory_space=pltpu.VMEM)
     x_halo = pl.BlockSpec(

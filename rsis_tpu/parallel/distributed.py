@@ -14,11 +14,14 @@ Launch contract (one command per host):
     python -m rsis_tpu.cli.train ... \
         -coordinator <host0>:<port> -num_processes N -process_id i
 
-On Cloud TPU VMs the three flags can be omitted entirely —
-`jax.distributed.initialize()` auto-discovers them from the TPU
-metadata. The per-host batch slice is ``batch_size // num_processes``
-handled by the caller's data loader (each host loads its own shard;
-`jax.make_array_from_process_local_data` assembles the global array).
+or, on Cloud TPU pod slices where the runtime can auto-discover the
+topology from the TPU metadata, just ``--multihost``. Omitting all
+multi-host flags is an explicit single-host run (no auto-detection:
+silently training N un-synchronized replicas when discovery misfires
+would be far worse than requiring one flag). Each host feeds
+``shard_batch`` the identically-seeded GLOBAL batch; in multi-process
+mode it slices this host's shard and assembles the global array with
+``jax.make_array_from_process_local_data``.
 """
 
 from __future__ import annotations
@@ -30,13 +33,18 @@ import jax
 
 def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> bool:
+               process_id: Optional[int] = None,
+               auto: bool = False) -> bool:
     """Initialize the multi-host runtime. Returns True if distributed mode
     is active (more than one process), False for the single-host no-op.
 
-    Safe to call unconditionally: with no flags on a single host it does
-    nothing; on Cloud TPU pod slices it auto-discovers the topology.
+    auto=True (the --multihost flag) calls jax.distributed.initialize()
+    with no arguments for Cloud-TPU topology auto-discovery. With neither
+    flags nor auto this is an explicit single-host no-op.
     """
+    if auto:
+        jax.distributed.initialize()
+        return jax.process_count() > 1
     if coordinator is None and num_processes is None:
         # plain single-process run (the common case in this repo's tests
         # and on the single tunneled chip)

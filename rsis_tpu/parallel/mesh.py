@@ -75,4 +75,18 @@ def shard_batch(mesh: Mesh, batch):
                 f"global batch {leaf.shape[0]} not divisible by data-axis "
                 f"size {n}; use a divisible batch size (loaders drop_last)")
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        # multi-host: every process passes the identically-seeded GLOBAL
+        # batch; this host contributes its contiguous slice (jax.devices()
+        # orders the mesh process-major, so contiguous rows land on local
+        # devices) and the global array is assembled without any transfer
+        # of other hosts' rows
+        from .distributed import global_batch_slice
+
+        def place(x):
+            per, off = global_batch_slice(x.shape[0])
+            return jax.make_array_from_process_local_data(
+                sh, np.asarray(x[off:off + per]), x.shape)
+
+        return jax.tree.map(place, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -126,9 +126,13 @@ class Trainer:
         if cfg.visdom:
             # the reference's visdom live server, self-contained
             # (reference: src/train.py:294-297); serves loss curves +
-            # mask snapshots from the monitor's files on cfg.port
+            # mask snapshots from the monitor's files on cfg.port. A busy
+            # port must not kill the training run — monitoring is optional.
             from ..utils.dashboard import Dashboard
-            Dashboard(model_dir(cfg), port=cfg.port).start()
+            try:
+                Dashboard(model_dir(cfg), port=cfg.port).start()
+            except OSError as e:
+                print(f"Dashboard disabled (port {cfg.port}: {e})")
 
         best_val_loss = cfg.best_val_loss
         acc_patience = 0

@@ -95,9 +95,12 @@ class _Handler(BaseHTTPRequestHandler):
 class Dashboard:
     """Daemon-thread HTTP server over a model dir's metrics/snapshots."""
 
-    def __init__(self, model_dir: str, port: int = 8097):
+    def __init__(self, model_dir: str, port: int = 8097,
+                 host: str = "127.0.0.1"):
+        # loopback by default: the metrics/snapshot server is
+        # unauthenticated; pass host="0.0.0.0" deliberately to expose it
         handler = type("Handler", (_Handler,), {"model_dir": model_dir})
-        self.server = ThreadingHTTPServer(("0.0.0.0", port), handler)
+        self.server = ThreadingHTTPServer((host, port), handler)
         self.port = self.server.server_address[1]
         self._thread = threading.Thread(target=self.server.serve_forever,
                                         daemon=True)

@@ -40,12 +40,32 @@ def _grad_fn(cfg):
     return jax.value_and_grad(loss_fn)
 
 
+def _assert_rowmajor_selected(cfg):
+    """Guard against the vacuous-test failure mode: at imsize=32 the
+    pyramid's coarsest level has H=1, the even-H guard rejects it, and the
+    'pallas' test silently compares the XLA fast path to flax. Assert the
+    predicate the training step actually uses."""
+    import jax.numpy as jnp
+    from rsis_tpu.models.rowmajor_decoder import training_rowmajor_selected
+    encoder, _ = build_models(cfg)
+    variables = init_variables(cfg, jax.random.PRNGKey(0))
+    skips = encoder.apply(
+        {"params": variables["params"]["encoder"],
+         "batch_stats": variables["batch_stats"]["encoder"]},
+        jnp.zeros((1, cfg.imsize, cfg.imsize, 3)), train=False)
+    assert training_rowmajor_selected(cfg, skips), (
+        "test geometry does not select the Pallas training path: "
+        + str([s.shape for s in skips]))
+
+
 def test_rowmajor_train_grads_match_flax():
-    # H=32 pyramid: 1,2,4,8,16 — needs the pallas="on" even-H override
+    # imsize=64 -> pyramid H = 2,4,8,16,32: every level even, so
+    # pallas="on" genuinely routes through the custom_vjp kernels
     cfg_rm = Config(dataset="synthetic", base_model="tiny", hidden_size=16,
-                    num_classes=3, imsize=32, maxseqlen=2, gt_maxseqlen=4,
+                    num_classes=3, imsize=64, maxseqlen=2, gt_maxseqlen=4,
                     batch_size=2, resize=True, pallas="on",
                     compute_dtype="float32")
+    _assert_rowmajor_selected(cfg_rm)
     cfg_fx = cfg_rm.replace(pallas="off")
     variables = init_variables(cfg_rm, jax.random.PRNGKey(0))
     state = create_train_state(cfg_rm, variables)
@@ -69,9 +89,10 @@ def test_rowmajor_train_grads_match_flax():
 
 def test_rowmajor_train_step_runs_and_descends():
     cfg = Config(dataset="synthetic", base_model="tiny", hidden_size=16,
-                 num_classes=3, imsize=32, maxseqlen=2, gt_maxseqlen=4,
+                 num_classes=3, imsize=64, maxseqlen=2, gt_maxseqlen=4,
                  batch_size=2, resize=True, pallas="on", lr=1e-3,
                  compute_dtype="float32")
+    _assert_rowmajor_selected(cfg)
     variables = init_variables(cfg, jax.random.PRNGKey(0))
     state = create_train_state(cfg, variables)
     batch = _make_batch(cfg)

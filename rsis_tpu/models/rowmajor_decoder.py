@@ -116,20 +116,26 @@ def _upsample_rowmajor(x: jnp.ndarray, out_h: int, out_w: int,
 
 def rowmajor_decoder_step(dec_params: dict, cells, carry,
                           interpret: bool = False,
-                          differentiable: bool = False):
+                          differentiable: bool = False, mesh=None):
     """One decode step; carry is a tuple of (h, c) in (B, H, C, W).
 
     Returns the finest hidden state instead of mask logits; the caller owns
     the mask head (measured per-step on the transposed state beats both a
     row-major per-step head and a deferred T*B-batched head — the dense
     interp matmul FLOPs dominate, not layout: 1.76 vs 2.2 vs 3.05 ms/step
-    at the bench geometry). differentiable=True routes through the
-    custom_vjp cells (ops/pallas_decode_vjp) so the training step can
-    backprop through the Pallas kernels."""
+    at the bench geometry; the banded ops/pallas_mask_head halves the
+    remainder). differentiable=True routes through the custom_vjp cells
+    (ops/pallas_decode_vjp) so the training step can backprop through the
+    Pallas kernels. Under a >1-device ``mesh`` every cell call is wrapped
+    in shard_map over the batch axis (ops/pallas_decode.shard_cell_fn) —
+    the kernels have no GSPMD partitioning rule."""
+    from ..ops.pallas_decode import shard_cell_fn
+
     n = len(cells)
     side_feats = []
     new_carry = []
     h = None
+    sharded = mesh is not None and mesh.devices.size > 1
     for i in range(n):
         h_prev, c_prev = carry[i]
         x_pad = None
@@ -141,12 +147,15 @@ def rowmajor_decoder_step(dec_params: dict, cells, carry,
             from ..ops.pallas_decode_vjp import make_fused_cell_vjp
             cell_fn = make_fused_cell_vjp(cells[i]["cx"], cells[i]["ch"],
                                           interpret=interpret)
-            h, c = cell_fn(h_prev, x_pad, c_prev, cells[i]["s"],
-                           cells[i]["wt"])
         else:
-            h, c = fused_cell_rowmajor(
-                h_prev, x_pad, c_prev, cells[i]["s"], cells[i]["wt"],
-                cx=cells[i]["cx"], ch=cells[i]["ch"], interpret=interpret)
+            cx_i, ch_i = cells[i]["cx"], cells[i]["ch"]
+
+            def cell_fn(hp, xp, cp, s, w_, _cx=cx_i, _ch=ch_i):
+                return fused_cell_rowmajor(hp, xp, cp, s, w_, cx=_cx,
+                                           ch=_ch, interpret=interpret)
+        if sharded:
+            cell_fn = shard_cell_fn(cell_fn, mesh)
+        h, c = cell_fn(h_prev, x_pad, c_prev, cells[i]["s"], cells[i]["wt"])
         new_carry.append((h, c))
         side_feats.append(jnp.max(h, axis=(1, 3)))
 
@@ -166,18 +175,28 @@ def decode_sequence_rowmajor(dec_params: dict, skips, T: int,
                              dtype=jnp.bfloat16, interpret: bool = False):
     """T-step scan over the Pallas step; same returns as decode_sequence."""
     from ..ops.mask_head import mask_head_fused
+    from ..ops.pallas_mask_head import (
+        mask_head_pallas, pallas_head_available)
 
     cells = _hoist_cells_rowmajor(dec_params, skips, hidden_size, skip_mode)
     carry_nhwc = init_carry(skips, hidden_size, dtype)
     carry0 = tuple((_to_rowmajor(h), _to_rowmajor(c))
                    for h, c in carry_nhwc)
+    fine_shape = carry0[-1][0].shape
+    use_pallas_head = pallas_head_available(fine_shape) or interpret
 
     def step(carry, _):
         (h_fine, cls, stop), new_carry = rowmajor_decoder_step(
             dec_params, cells, carry, interpret=interpret)
-        mask = mask_head_fused(jnp.moveaxis(h_fine, 2, -1),
-                               dec_params["conv_out"]["kernel"],
-                               dec_params["conv_out"]["bias"])
+        if use_pallas_head:
+            mask = mask_head_pallas(h_fine,
+                                    dec_params["conv_out"]["kernel"],
+                                    dec_params["conv_out"]["bias"],
+                                    interpret=interpret)
+        else:
+            mask = mask_head_fused(jnp.moveaxis(h_fine, 2, -1),
+                                   dec_params["conv_out"]["kernel"],
+                                   dec_params["conv_out"]["bias"])
         return new_carry, (mask, cls, stop)
 
     _, (masks, clss, stops) = lax.scan(step, carry0, None, length=T)
@@ -192,7 +211,12 @@ def training_rowmajor_selected(cfg, skips, single_device: bool = True
     """Whether the training step routes through the differentiable Pallas
     cells. Exposed so tests can assert which path they are exercising
     (a prior test silently compared the XLA path to flax because the
-    tiny pyramid's H=1 failed the geometry guard)."""
+    tiny pyramid's H=1 failed the geometry guard).
+
+    Multi-device meshes are supported: the step wraps each cell call in
+    shard_map over the batch axis (shard_cell_fn), so ``single_device``
+    no longer gates the path; it is kept for call compatibility."""
+    del single_device
     if cfg.pallas == "off" or cfg.skip_mode not in ("concat", "sum",
                                                     "none"):
         return False
@@ -200,13 +224,9 @@ def training_rowmajor_selected(cfg, skips, single_device: bool = True
         return False  # the kernels' 2-row halo blocks need even H
     # pallas="on" forces the kernels anywhere (interpret off-TPU — slow
     # but exact, used by the CPU parity tests); "auto" gates on hardware
-    # and, until the kernels get a shard_map wrapper, on a single-device
-    # step (under GSPMD auto-partitioning a pallas_call has no
-    # partitioning rule — see make_train_step, which falls back to the
-    # XLA fast path on multi-device meshes)
     if cfg.pallas == "on":
         return True
-    return (single_device and jax.default_backend() == "tpu"
+    return (jax.default_backend() == "tpu"
             and all(s.shape[1] % 8 == 0 for s in skips))
 
 

@@ -27,6 +27,130 @@ from .upsample import _interp_matrix
 
 
 @functools.lru_cache(maxsize=64)
+def _row2x_weights(n_in: int):
+    """Phase-split 2-tap weights of the align-corners 2x interp matrix.
+
+    For ``U = _interp_matrix(n_in, 2*n_in)`` the banded structure is
+    shift-regular once split into even/odd output phases:
+
+      out[2m]   = a[m] * in[m-1] + b[m] * in[m]     (a[0] = 0)
+      out[2m+1] = c[m] * in[m]   + d[m] * in[m+1]   (d[-1] = 0)
+
+    (floor(2m*(n-1)/(2n-1)) == m-1 and floor((2m+1)*(n-1)/(2n-1)) == m for
+    every interior m), so row upsampling needs two shifted multiplies
+    instead of a dense (2n, n) matmul. Returns (a, b, c, d) float32 vectors
+    of length n_in; the reconstruction is asserted equal to U so any
+    convention drift in _interp_matrix fails loudly here.
+    """
+    u = _interp_matrix(n_in, 2 * n_in)
+    a = np.zeros(n_in, np.float32)
+    b = np.zeros(n_in, np.float32)
+    c = np.zeros(n_in, np.float32)
+    d = np.zeros(n_in, np.float32)
+    for m in range(n_in):
+        b[m] = u[2 * m, m]
+        if m > 0:
+            a[m] = u[2 * m, m - 1]
+        c[m] = u[2 * m + 1, m]
+        if m + 1 < n_in:
+            d[m] = u[2 * m + 1, m + 1]
+    recon = np.zeros_like(u)
+    for m in range(n_in):
+        recon[2 * m, m] += b[m]
+        if m > 0:
+            recon[2 * m, m - 1] += a[m]
+        recon[2 * m + 1, m] += c[m]
+        if m + 1 < n_in:
+            recon[2 * m + 1, m + 1] += d[m]
+    assert np.array_equal(recon, u), "align-corners 2x is not 2-banded?"
+    return a, b, c, d
+
+
+def _row_upsample2x(z: jnp.ndarray, n_in: int) -> jnp.ndarray:
+    """(..., H, W) -> (..., 2H, W) align-corners bilinear via the phase
+    split of _row2x_weights (no matmul)."""
+    a, b, c, d = (jnp.asarray(v)[:, None] for v in _row2x_weights(n_in))
+    zp = jnp.concatenate([z[..., :1, :], z[..., :-1, :]], axis=-2)
+    zn = jnp.concatenate([z[..., 1:, :], z[..., -1:, :]], axis=-2)
+    even = a * zp + b * z
+    odd = c * z + d * zn
+    q = jnp.stack([even, odd], axis=-2)  # (..., H, 2, W)
+    return q.reshape(*z.shape[:-2], 2 * n_in, z.shape[-1])
+
+
+def _shift_zero(x: jnp.ndarray, delta: int, axis: int) -> jnp.ndarray:
+    """out[j] = x[j + delta] along ``axis`` with zero fill (the conv's
+    SAME-padding shift composed after interpolation)."""
+    if delta == 0:
+        return x
+    n = x.shape[axis]
+    idx = [slice(None)] * x.ndim
+    pad = [(0, 0)] * x.ndim
+    if delta > 0:
+        idx[axis] = slice(delta, n)
+        pad[axis] = (0, delta)
+    else:
+        idx[axis] = slice(0, n + delta)
+        pad[axis] = (-delta, 0)
+    return jnp.pad(x[tuple(idx)], pad)
+
+
+def mask_head_banded(hs: jnp.ndarray, kernel: jnp.ndarray,
+                     bias: jnp.ndarray, layout: str = "nhcw") -> jnp.ndarray:
+    """conv3x3(upsample_2x_align_corners(h)) with a banded row stage.
+
+    Same math as mask_head_fused / mask_head_rowmajor, but exploits the
+    2-banded structure of the align-corners interp matrices: the row
+    interpolation for all 9 conv taps is two shifted multiplies
+    (_row_upsample2x), the dy conv shifts ride as zero-fill row shifts, and
+    the dy-sum shrinks the tap axis 9 -> 3 *before* the only remaining
+    dense matmul (the W -> 2W column interpolation, batched over dx). That
+    cuts the head's matmul FLOPs >2x vs the 9 + 3 dense einsums of
+    mask_head_fused (the measured cost there is the dense interp FLOPs, not
+    layout — docs/PERF.md).
+
+    Args:
+      hs: (N, H, C, W) finest hidden states (layout="nhcw", the Pallas
+        decode layout — reads compact HBM tiles) or (N, H, W, C)
+        (layout="nhwc").
+      kernel: (3, 3, C, 1) HWIO conv weight.
+      bias: (1,).
+    Returns:
+      (N, 2H, 2W, 1) mask logits.
+    """
+    if layout == "nhcw":
+        n, hh, c, ww = hs.shape
+        spec = "nhcw,tc->tnhw"
+    elif layout == "nhwc":
+        n, hh, ww, c = hs.shape
+        spec = "nhwc,tc->tnhw"
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+    oh, ow = 2 * hh, 2 * ww
+    dtype = hs.dtype
+    exact = dtype == jnp.float32
+    mdtype = jnp.float32 if exact else dtype
+    precision = "highest" if exact else None
+
+    k9 = kernel[..., 0].reshape(9, c).astype(mdtype)
+    # all 9 channel contractions in one pass
+    z = jnp.einsum(spec, hs.astype(mdtype), k9, precision=precision,
+                   preferred_element_type=jnp.float32)  # (9, N, H, W) f32
+    q = _row_upsample2x(z, hh)  # (9, N, 2H, W)
+    # compose the conv's row shift and reduce the tap axis 9 -> 3 (by dx)
+    y = jnp.stack([
+        sum(_shift_zero(q[dy * 3 + dx], dy - 1, axis=-2)
+            for dy in range(3))
+        for dx in range(3)], axis=0).astype(mdtype)  # (3, N, 2H, W)
+    ucol = jnp.asarray(_interp_matrix(ww, ow), mdtype)
+    ycol = jnp.einsum("xnhw,pw->xnhp", y, ucol, precision=precision,
+                      preferred_element_type=jnp.float32)  # (3, N, 2H, 2W)
+    out = sum(_shift_zero(ycol[dx], dx - 1, axis=-1) for dx in range(3))
+    out = out + bias[0].astype(out.dtype)
+    return out[..., None].astype(dtype)
+
+
+@functools.lru_cache(maxsize=64)
 def _shifted_interp(n_in: int, n_out: int, delta: int) -> np.ndarray:
     """(n_out, n_in) matrix of rows ``U[j + delta]`` with zero padding,
     composing the conv's spatial shift with align-corners interpolation."""

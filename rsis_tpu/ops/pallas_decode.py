@@ -244,6 +244,43 @@ def conv3x3_rowmajor(x: jnp.ndarray, wt: jnp.ndarray, *, cin: int,
     )(x, x, x, wt)
 
 
+def shard_cell_fn(cell_fn, mesh):
+    """Run a fused-cell step per-device on its batch shard via shard_map.
+
+    A ``pallas_call`` has no GSPMD partitioning rule, so under a
+    multi-device mesh the kernels must be mapped explicitly. The cell math
+    is batch-parallel (H stays whole per device — no cross-shard halos),
+    so every array operand shards on its leading batch dim over all mesh
+    axes and the packed weight replicates. Composes with the custom_vjp
+    cells: shard_map differentiates per shard, and the batch-dim grads
+    flow back sharded while dwt/ds pick up the psum XLA already inserts
+    for replicated->sharded transposes (varying-manual-axes checking is
+    disabled — custom_vjp calls do not carry replication-tracking rules).
+
+    cell_fn: (h_prev, x_pad | None, c_prev, s_term, wt) -> (h, c).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    bsp = P(tuple(mesh.axis_names))
+    rep = P()
+
+    def wrapped(h_prev, x_pad, c_prev, s_term, wt):
+        if x_pad is None:
+            def no_x(hp, cp, s, w_):
+                return cell_fn(hp, None, cp, s, w_)
+            return shard_map(no_x, mesh=mesh,
+                             in_specs=(bsp, bsp, bsp, rep),
+                             out_specs=(bsp, bsp), check_vma=False)(
+                                 h_prev, c_prev, s_term, wt)
+        return shard_map(cell_fn, mesh=mesh,
+                         in_specs=(bsp, bsp, bsp, bsp, rep),
+                         out_specs=(bsp, bsp), check_vma=False)(
+                             h_prev, x_pad, c_prev, s_term, wt)
+
+    return wrapped
+
+
 def pad_hcw(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, C, W) -> (B, H+2, C, W+2): the zero halo ring for the padded
     up-input path (the h/c path needs no pad — the kernel edge-masks)."""

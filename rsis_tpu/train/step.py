@@ -81,7 +81,7 @@ def create_train_state(cfg: Config, variables) -> TrainState:
 
 def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
                         x, y_mask, T: int, train: bool, rng,
-                        remat: bool = True, single_device: bool = True):
+                        remat: bool = True, mesh=None):
     """Encoder once + scanned decode emitting per-step cost columns.
 
     Returns (masks (B,T,HW) logits, class_probs (B,T,C), stop_logits (B,T),
@@ -113,7 +113,7 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
         rowmajor_path_available, training_rowmajor_selected)
     interpret = jax.default_backend() != "tpu"
     use_rowmajor = (not needs_rng) and training_rowmajor_selected(
-        cfg, skips, single_device=single_device)
+        cfg, skips)
     if use_rowmajor:
         # Pallas cells with custom_vjp backward kernels — the training
         # twin of the inference row-major decode (ops/pallas_decode_vjp)
@@ -127,7 +127,7 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
         def step(carry, t):
             (h_fine, cls, stop), new_carry = rowmajor_decoder_step(
                 params["decoder"], cells_rm, carry, interpret=interpret,
-                differentiable=True)
+                differentiable=True, mesh=mesh)
             mask = mask_head_fused(jnp.moveaxis(h_fine, 2, -1),
                                    conv_out["kernel"], conv_out["bias"])
             mask = upsample_bilinear_align_corners(mask, h, w)
@@ -247,8 +247,6 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
     dec_tx = make_optimizer(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum)
     T = T or cfg.maxseqlen
 
-    single_device = mesh is None or len(mesh.devices.reshape(-1)) == 1
-
     def loss_fn(params, batch_stats, batch, flags, rng):
         x, y_mask, y_class, sw_mask, sw_class = decode_batch(cfg, batch)
         if cfg.augment and cfg.augment_on_device:
@@ -262,7 +260,7 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
                 zoom_range_for(cfg))
         masks, clss, stops, costs, new_stats = _forward_with_costs(
             cfg, encoder, decoder, params, batch_stats, x, y_mask, T,
-            train=True, rng=rng, remat=remat, single_device=single_device)
+            train=True, rng=rng, remat=remat, mesh=mesh)
         total, parts = _losses(cfg, masks, clss, stops, costs, y_mask,
                                y_class, sw_mask, sw_class, flags)
         return total, (new_stats, parts)
@@ -298,8 +296,7 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
         x, y_mask, y_class, sw_mask, sw_class = decode_batch(cfg, batch)
         masks, clss, stops, costs, _ = _forward_with_costs(
             cfg, encoder, decoder, state.params, state.batch_stats, x,
-            y_mask, T, train=False, rng=rng, remat=False,
-            single_device=single_device)
+            y_mask, T, train=False, rng=rng, remat=False, mesh=mesh)
         total, parts = _losses(cfg, masks, clss, stops, costs, y_mask,
                                y_class, sw_mask, sw_class, flags)
         loss_iou, loss_stop, loss_class = parts

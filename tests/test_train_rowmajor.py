@@ -105,3 +105,58 @@ def test_rowmajor_train_step_runs_and_descends():
         losses.append(float(metrics[0]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_rowmajor_multidevice_grads_match_single():
+    """Pallas cells under a 2-device mesh (shard_map-wrapped, see
+    ops/pallas_decode.shard_cell_fn) must reproduce single-device
+    gradients of the full loss — forward equality plus gradient-psum
+    correctness through the custom_vjp kernels. Gradients are compared
+    rather than params-after-Adam (which amplifies f32 reduction noise
+    through m/sqrt(v) for near-zero grads, see test_train_step)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from rsis_tpu.parallel.mesh import shard_batch
+
+    cfg = Config(dataset="synthetic", base_model="tiny", hidden_size=16,
+                 num_classes=3, imsize=64, maxseqlen=2, gt_maxseqlen=4,
+                 batch_size=4, resize=True, pallas="on",
+                 compute_dtype="float32")
+    _assert_rowmajor_selected(cfg)
+    variables = init_variables(cfg, jax.random.PRNGKey(0))
+    state = create_train_state(cfg, variables)
+    batch = _make_batch(cfg, n=4)
+    flags = StepFlags(jnp.float32(1), jnp.float32(1), jnp.float32(1))
+    rng = jax.random.PRNGKey(3)
+    encoder, decoder = build_models(cfg)
+    mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("data",))
+
+    def make_loss(fwd_mesh):
+        def loss_fn(params, batch_stats, batch, flags, rng):
+            x, y_mask, y_class, sw_mask, sw_class = decode_batch(cfg, batch)
+            masks, clss, stops, costs, _ = _forward_with_costs(
+                cfg, encoder, decoder, params, batch_stats, x, y_mask,
+                cfg.maxseqlen, train=True, rng=rng, remat=False,
+                mesh=fwd_mesh)
+            total, _ = _losses(cfg, masks, clss, stops, costs, y_mask,
+                               y_class, sw_mask, sw_class, flags)
+            return total
+        return loss_fn
+
+    g_single = jax.jit(jax.grad(make_loss(None)))(
+        state.params, state.batch_stats, batch, flags, rng)
+
+    rep = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    g_mesh = jax.jit(
+        jax.grad(make_loss(mesh)),
+        in_shardings=(rep, rep, (bsh,) * 5, rep, rep),
+        out_shardings=rep)(
+            state.params, state.batch_stats, shard_batch(mesh, batch),
+            flags, rng)
+
+    for (path, a), b in zip(jax.tree.leaves_with_path(g_single),
+                            jax.tree.leaves(g_mesh)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-10
+        assert np.abs(a - b).max() <= 5e-4 * scale + 1e-7, (
+            jax.tree_util.keystr(path), np.abs(a - b).max(), scale)

@@ -264,3 +264,53 @@ def mask_head_pallas_t(ht: jnp.ndarray, kernel: jnp.ndarray,
     b, c, h, w = ht.shape
     return _head_call(ht, kernel, bias, b=b, c=c, h=h, w=w,
                       interpret=interpret)
+
+
+def make_mask_head_vjp(interpret: bool = False):
+    """Differentiable Pallas head for the training step.
+
+    Forward is the fused kernel; backward is the pullback of the
+    mathematically identical dense formulation (ops/mask_head
+    .mask_head_fused). The head is linear in ``hs``, so under jit XLA
+    dead-code-eliminates the dense forward inside ``jax.vjp`` and only the
+    transposed interp matmuls remain — the bwd costs what mask_head_fused's
+    bwd already cost, while fwd (and its remat replay inside the scanned,
+    checkpointed decode) drops from 1.39 to 0.67 ms/step at the bench
+    geometry (docs/PERF.md).
+
+    Returned signature: (hs (B, H, C, W), kernel (3,3,C,1), bias (1,)) ->
+    (B, 2H, 2W, 1), matching mask_head_pallas.
+    """
+    from .mask_head import mask_head_fused
+
+    def _dense(hs, kernel, bias):
+        return mask_head_fused(jnp.moveaxis(hs, 2, -1), kernel, bias)
+
+    @jax.custom_vjp
+    def head(hs, kernel, bias):
+        return mask_head_pallas(hs, kernel, bias, interpret=interpret)
+
+    def fwd(hs, kernel, bias):
+        return head(hs, kernel, bias), (hs, kernel, bias)
+
+    def bwd(res, g):
+        hs, kernel, bias = res
+        _, pullback = jax.vjp(_dense, hs, kernel, bias)
+        return pullback(g)
+
+    head.defvjp(fwd, bwd)
+    return head
+
+
+def shard_head_fn(head_fn, mesh):
+    """Batch-sharded shard_map wrapper for the Pallas head under a
+    multi-device mesh (pallas_call has no GSPMD partitioning rule; same
+    contract as ops/pallas_decode.shard_cell_fn — hs shards on batch,
+    kernel/bias replicate, check_vma off for custom_vjp composition)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    bsp = P(tuple(mesh.axis_names))
+    rep = P()
+    return shard_map(head_fn, mesh=mesh, in_specs=(bsp, rep, rep),
+                     out_specs=bsp, check_vma=False)

@@ -118,18 +118,28 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
         # Pallas cells with custom_vjp backward kernels — the training
         # twin of the inference row-major decode (ops/pallas_decode_vjp)
         from ..ops.mask_head import mask_head_fused
+        from ..ops.pallas_mask_head import (
+            make_mask_head_vjp, pallas_head_available, shard_head_fn)
         cells_rm = _hoist_cells_rowmajor(params["decoder"], skips,
                                          cfg.hidden_size, cfg.skip_mode)
         carry0 = tuple((_to_rowmajor(hh), _to_rowmajor(cc))
                        for hh, cc in carry0)
         conv_out = params["decoder"]["conv_out"]
+        fine_shape = carry0[-1][0].shape
+        if pallas_head_available(fine_shape) or interpret:
+            head_fn = make_mask_head_vjp(interpret=interpret)
+            if mesh is not None and mesh.devices.size > 1:
+                head_fn = shard_head_fn(head_fn, mesh)
+        else:
+            def head_fn(h_fine, kernel, bias):
+                return mask_head_fused(jnp.moveaxis(h_fine, 2, -1),
+                                       kernel, bias)
 
         def step(carry, t):
             (h_fine, cls, stop), new_carry = rowmajor_decoder_step(
                 params["decoder"], cells_rm, carry, interpret=interpret,
                 differentiable=True, mesh=mesh)
-            mask = mask_head_fused(jnp.moveaxis(h_fine, 2, -1),
-                                   conv_out["kernel"], conv_out["bias"])
+            mask = head_fn(h_fine, conv_out["kernel"], conv_out["bias"])
             mask = upsample_bilinear_align_corners(mask, h, w)
             mask_flat = mask.reshape(mask.shape[0], -1).astype(jnp.float32)
             cost_col = soft_iou_cost(y_mask, mask_flat[:, None, :])

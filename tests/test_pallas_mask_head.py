@@ -11,8 +11,8 @@ import jax.numpy as jnp
 
 from rsis_tpu.ops.mask_head import mask_head_fused
 from rsis_tpu.ops.pallas_mask_head import (
-    _col_cat_matrix, _pick_tile, mask_head_pallas, mask_head_pallas_t,
-    pallas_head_available)
+    _col_cat_matrix, _pick_tile, make_mask_head_vjp, mask_head_pallas,
+    mask_head_pallas_t, pallas_head_available)
 from rsis_tpu.ops.upsample import _interp_matrix
 
 
@@ -77,6 +77,27 @@ class TestPallasMaskHead:
             lo, hi = max(0, -delta), min(2 * w, 2 * w - delta)
             want[lo:hi] = full[lo + delta:hi + delta]
             np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_vjp_grads_match_dense(self):
+        # training head: Pallas forward, dense-pullback backward — grads of
+        # a nonlinear scalar loss must match jax.grad of mask_head_fused
+        import jax
+
+        hs, k, bias = _case(2, 16, 4, 8, seed=3)
+        head = make_mask_head_vjp(interpret=True)
+
+        def loss_pallas(hs, k, bias):
+            return jnp.sum(jnp.tanh(head(hs, k, bias)))
+
+        def loss_dense(hs, k, bias):
+            return jnp.sum(jnp.tanh(
+                mask_head_fused(jnp.moveaxis(hs, 2, -1), k, bias)))
+
+        g_p = jax.grad(loss_pallas, argnums=(0, 1, 2))(hs, k, bias)
+        g_d = jax.grad(loss_dense, argnums=(0, 1, 2))(hs, k, bias)
+        for a, b in zip(g_p, g_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
 
     def test_availability_gate(self):
         assert pallas_head_available((32, 256, 8, 512))

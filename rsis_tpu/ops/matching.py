@@ -26,31 +26,38 @@ from jax import lax
 _INF = 1e9
 
 
-def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:
-    """Optimal assignment of an (N, N) cost matrix.
+def _solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
+    """Optimal assignment of an (R, C) cost matrix, R <= C.
 
-    Returns ``row_of_col``: int32 (N,) where ``row_of_col[j]`` is the row
-    assigned to column j. Jonker-Volgenant with dual potentials.
+    Returns ``row_of_col``: int32 (C,) where ``row_of_col[j]`` is the
+    1-indexed row assigned to column j (0 = unassigned). Jonker-Volgenant
+    with dual potentials, one augmenting path per ROW — for the training
+    matcher the rows are the T predictions and the columns the N >= T GT
+    slots, so the unrolled program has sum_{i<T}(i+2) path segments
+    instead of the sum_{i<N}(i+2) of solving the zero-padded square
+    (~12x fewer tiny ops at T=5, N=20; measured ~20 ms -> ~2 ms, the
+    optimum over the real columns is identical — zero-cost pad columns
+    only absorb unused rows).
 
     Every loop is PYTHON-unrolled with done-masking instead of
     lax.while/fori: on this backend a lax loop iteration carries a ~0.7 ms
     floor regardless of body size (docs/PERF.md), which made the
     data-dependent JV whiles the single most expensive part of the train
     step (~80 ms/step at N=20, B*T=160 vmapped problems). Unrolled, the
-    whole batched solve is a few thousand tiny fused ops with no loop
-    floor. The augmenting path for row i visits at most i+1 assigned
-    columns, so its trip bound is i+2 (and the path-reconstruction bound
-    likewise), keeping the unrolled program ~N^2/2 segments, not N^2.
+    whole batched solve is tiny fused ops with no loop floor. The
+    augmenting path for row i visits at most i+1 assigned columns, so its
+    trip bound is i+2 (and the path-reconstruction bound likewise).
     """
-    n = cost.shape[0]
+    nr, n = cost.shape
+    assert nr <= n
     cost = cost.astype(jnp.float32)
     cols = jnp.arange(n + 1)
 
-    u = jnp.zeros(n + 1, jnp.float32)
+    u = jnp.zeros(nr + 1, jnp.float32)
     v = jnp.zeros(n + 1, jnp.float32)
     p = jnp.zeros(n + 1, jnp.int32)
 
-    for i in range(n):
+    for i in range(nr):
         row = i + 1  # 1-indexed
         p = p.at[0].set(row)
         minv = jnp.full(n + 1, _INF)
@@ -88,7 +95,23 @@ def _solve_square(cost: jnp.ndarray) -> jnp.ndarray:
             p = jnp.where(active, p.at[j0].set(p[j1]), p)
             j0 = jnp.where(active, j1, j0)
 
-    return p[1:] - 1  # row_of_col, 0-indexed
+    return p[1:]  # 1-indexed row per column, 0 = unassigned
+
+
+def _perm_from_rect(row_of_col: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
+    """Convert the transposed-rectangular solution (predictions as rows,
+    GT as columns) into the (N,) ``perm`` convention: perm[j] = GT row for
+    prediction column j (j < M), remaining GT rows ascending after —
+    equivalent to any optimal completion of the zero-cost pad columns."""
+    taken = row_of_col > 0                       # (n,) GT slot assigned?
+    gt = jnp.arange(n, dtype=jnp.int32)
+    # scatter each assigned GT slot to its prediction; unassigned slots
+    # get an out-of-range index and are dropped
+    idx = jnp.where(taken, row_of_col - 1, m)
+    head = jnp.zeros(m, jnp.int32).at[idx].set(gt, mode="drop")
+    # unassigned GT rows, ascending, for the pad columns
+    order = jnp.argsort(jnp.where(taken, n + gt, gt))
+    return jnp.concatenate([head, order[:n - m].astype(jnp.int32)])
 
 
 def hungarian(costs: jnp.ndarray) -> jnp.ndarray:
@@ -96,19 +119,26 @@ def hungarian(costs: jnp.ndarray) -> jnp.ndarray:
 
     Args:
       costs: (B, N, M) with N >= M (rows = GT slots, cols = predictions).
-        When N > M the matrix is padded with zero-cost columns, matching the
-        Munkres pad convention used by the reference.
+        When N > M the optimum equals the Munkres zero-cost-pad
+        convention of the reference; the solver works on the transposed
+        (M, N) rectangle (M augmenting paths, not N).
     Returns:
       (B, N) int32 ``perm`` with ``perm[b, j]`` = GT row assigned to
-      prediction column j (columns >= M get the rows absorbed by padding).
+      prediction column j (columns >= M get the leftover rows ascending).
     """
     b, n, m = costs.shape
-    if m < n:
-        pad = jnp.zeros((b, n, n - m), costs.dtype)
-        costs = jnp.concatenate([costs, pad], axis=-1)
-    elif m > n:
+    if m > n:
         raise ValueError("more prediction columns than GT rows")
-    return jax.vmap(_solve_square)(costs)
+    if m == n:
+        row_of_col = jax.vmap(_solve_lap)(costs.transpose(0, 2, 1))
+        # square: row_of_col is a full 1-indexed assignment
+        perm = jnp.zeros((b, n), jnp.int32)
+        gt = jnp.arange(n, dtype=jnp.int32)
+        return jax.vmap(
+            lambda rc: jnp.zeros(n, jnp.int32).at[
+                jnp.maximum(rc - 1, 0)].set(gt))(row_of_col)
+    row_of_col = jax.vmap(_solve_lap)(costs.transpose(0, 2, 1))
+    return jax.vmap(lambda rc: _perm_from_rect(rc, n, m))(row_of_col)
 
 
 def match_gt_to_predictions(y_mask: jnp.ndarray, y_class: jnp.ndarray,

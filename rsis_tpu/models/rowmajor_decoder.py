@@ -197,10 +197,14 @@ def decode_sequence_rowmajor(dec_params: dict, skips, T: int,
             mask = mask_head_fused(jnp.moveaxis(h_fine, 2, -1),
                                    dec_params["conv_out"]["kernel"],
                                    dec_params["conv_out"]["bias"])
-        return new_carry, (mask, cls, stop)
+        # drop the singleton channel BEFORE the scan stacks: a trailing
+        # size-1 minor dim on the (T, B, 2H, 2W, 1) output buffer provokes
+        # a pathological lane-padded layout (measured ~62 ms of the T=20
+        # bench decode in relayout passes)
+        return new_carry, (mask[..., 0], cls, stop)
 
     _, (masks, clss, stops) = lax.scan(step, carry0, None, length=T)
-    masks = jnp.moveaxis(masks, 0, 1)
+    masks = jnp.moveaxis(masks, 0, 1)  # (B, T, 2H, 2W)
     clss = jnp.moveaxis(clss, 0, 1)
     stops = jnp.moveaxis(stops, 0, 1)
     return masks, clss, stops

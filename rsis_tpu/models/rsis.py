@@ -131,5 +131,9 @@ def forward(cfg: Config, variables, x: jnp.ndarray, T: int | None = None):
         masks, clss, stops, _ = decode_sequence(
             decoder, variables["params"]["decoder"], skips, T, train=False)
     h, w = x.shape[1], x.shape[2]
-    masks = upsample_bilinear_align_corners(masks, h, w)[..., 0]
+    if masks.ndim == 5:
+        masks = masks[..., 0]  # legacy (B, T, H', W', 1) paths
+    if masks.shape[-2:] != (h, w):
+        masks = upsample_bilinear_align_corners(masks[..., None],
+                                                h, w)[..., 0]
     return jax.nn.sigmoid(masks), clss, jax.nn.sigmoid(stops)

@@ -70,7 +70,8 @@ class TestRowmajorDecoder:
         m_g, c_g, s_g = decode_sequence_rowmajor(
             params, skips, T, dec.hidden_size, "concat",
             dtype=jnp.float32, interpret=True)
-        np.testing.assert_allclose(np.asarray(m_g), np.asarray(m_w),
+        # rowmajor emits squeezed (B, T, H, W) masks (scan-stacking layout)
+        np.testing.assert_allclose(np.asarray(m_g), np.asarray(m_w[..., 0]),
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(c_g), np.asarray(c_w),
                                    atol=1e-4)

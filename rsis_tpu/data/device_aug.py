@@ -173,9 +173,10 @@ def augment_wire_batch(rng: jax.Array, x: jnp.ndarray, y_mask: jnp.ndarray,
     # instance masks are disjoint (sequence_from_masks splits an instance
     # map), so the N mask planes collapse into ONE id plane for the warp,
     # and the N-plane expansion afterwards is a cheap elementwise compare.
-    # ids <= N are exact in either payload dtype.
-    ids = jnp.einsum("bnhw,n->bhw", masks,
-                     jnp.arange(1, n + 1, dtype=masks.dtype))
+    # ids <= N are exact in either payload dtype. The einsum promotes to
+    # int32 so uint8 wire masks read at 1 byte/px without overflow.
+    ids = jnp.einsum("bnhw,n->bhw", masks.astype(jnp.int32),
+                     jnp.arange(1, n + 1, dtype=jnp.int32))
 
     if warp_available(h, w, rotation, shear, zoom_range, translation) \
             and jax.default_backend() == "tpu":

@@ -55,8 +55,26 @@ def resize_masks_nearest(mask: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def sequence_from_masks(ins: np.ndarray, seg: np.ndarray,
-                        max_seq_len: int) -> np.ndarray:
-    """Split an instance map into the packed per-instance target tensor."""
+                        max_seq_len: int, native: bool = True
+                        ) -> np.ndarray:
+    """Split an instance map into the packed per-instance target tensor.
+
+    The hot path (``native=True``) runs the C++ single-pass builder
+    (kernels/_binding.pack_target, ~100x this numpy implementation, which
+    is kept as the oracle/reference and for exotic dtypes). Equal-area
+    instances may order differently between the two (numpy's argsort tie
+    order is unspecified; any order is a valid target permutation).
+    """
+    if native:
+        try:
+            from ..kernels._binding import pack_target
+            if (np.issubdtype(ins.dtype, np.integer)
+                    and np.issubdtype(seg.dtype, np.integer)
+                    and int(np.max(seg, initial=0)) <= 255):
+                return pack_target(ins, seg, max_seq_len
+                                   ).astype(np.float32)
+        except Exception:
+            pass
     h, w = ins.shape
     instance_ids = np.unique(ins)
     instance_ids = instance_ids[instance_ids != 0]
@@ -174,10 +192,19 @@ class InstanceDataset:
         if self.affine is not None:
             img_chw, ins, seg = self.affine(img_chw, ins, seg)
 
-        target = sequence_from_masks(ins.astype(np.int64),
-                                     seg.astype(np.int64), self.max_seq_len)
         out_img = np.moveaxis(img_chw, 0, -1)
         if self.wire_dtype == "uint8":
-            assert target[:, -3].max() <= 255, "class id exceeds uint8 wire"
-            return out_img.astype(np.uint8), target.astype(np.uint8)
+            assert int(np.max(seg, initial=0)) <= 255, \
+                "class id exceeds uint8 wire"
+            try:
+                from ..kernels._binding import pack_target
+                target = pack_target(np.asarray(ins), np.asarray(seg),
+                                     self.max_seq_len)
+            except Exception:
+                target = sequence_from_masks(
+                    ins.astype(np.int64), seg.astype(np.int64),
+                    self.max_seq_len, native=False).astype(np.uint8)
+            return out_img.astype(np.uint8), target
+        target = sequence_from_masks(ins.astype(np.int64),
+                                     seg.astype(np.int64), self.max_seq_len)
         return out_img.astype(np.float32), target

@@ -69,6 +69,9 @@ def _load() -> ctypes.CDLL:
         lib.rsis_rle_to_string.restype = u64
         lib.rsis_rle_from_string.argtypes = [ctypes.c_char_p, u64, u64, _u32p]
         lib.rsis_rle_from_string.restype = u64
+        _i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.rsis_pack_target.argtypes = [_i32p, _i32p, u64, u64, u64, _u8p]
+        lib.rsis_pack_target.restype = u64
         _lib = lib
     return _lib
 
@@ -238,3 +241,20 @@ def from_string(s: bytes, h: int, w: int) -> np.ndarray:
     out = np.empty(max(h * w, len(s)) + 2, dtype=np.uint32)
     m = _load().rsis_rle_from_string(s, h, w, _as_u32p(out))
     return out[:int(m)].copy()
+
+
+def pack_target(ins: np.ndarray, seg: np.ndarray, max_seq: int
+                ) -> np.ndarray:
+    """Native packed-target builder: instance/seg maps -> (max_seq,
+    h*w+3) uint8 wire rows (twin of data.base.sequence_from_masks;
+    reference: src/dataloader/dataset.py:86-146). ~100x the numpy path —
+    the host-side hot loop of the training input pipeline."""
+    ins = np.ascontiguousarray(ins, dtype=np.int32)
+    seg = np.ascontiguousarray(seg, dtype=np.int32)
+    h, w = ins.shape
+    out = np.zeros((max_seq, h * w + 3), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    _load().rsis_pack_target(
+        ins.ctypes.data_as(i32p), seg.ctypes.data_as(i32p),
+        h, w, max_seq, _as_u8p(out))
+    return out

@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -487,6 +488,76 @@ u64 rsis_rle_from_string(const char* s, u64 /*h*/, u64 /*w*/, u32* out_cnts) {
     out_cnts[m++] = static_cast<u32>(x);
   }
   return m;
+}
+
+// ---------------------------------------------------------------------------
+// Packed-target builder: instance map -> (max_seq, h*w+3) uint8 wire rows.
+//
+// Native twin of data/base.py sequence_from_masks (reference semantics:
+// src/dataloader/dataset.py:86-146): split the instance map into binary
+// per-instance masks, sort by descending pixel area, truncate/pad to
+// max_seq slots, append [class, sw_mask, sw_class] columns; the <eos> slot
+// after the last real instance gets class weight 1. The per-instance class
+// is the MINIMUM seg value over the instance's pixels (np.unique()[0]).
+// Equal areas tie-break by ascending instance id (numpy's argsort order
+// for ties is unspecified; any order is a valid target permutation).
+//
+// One O(h*w) pass for areas/classes + one O(h*w) scatter into the output
+// rows replaces the numpy path's per-instance full-image scans
+// (~57 ms/sample -> sub-ms at 256x512, the host-side bottleneck of the
+// training input pipeline).
+//
+// out must be zero-initialised, (max_seq, h*w+3) row-major uint8.
+// Returns the number of real instances written (before truncation).
+u64 rsis_pack_target(const int32_t* ins, const int32_t* seg, u64 h, u64 w,
+                     u64 max_seq, u8* out) {
+  const u64 hw = h * w;
+  int32_t max_id = 0;
+  for (u64 p = 0; p < hw; ++p)
+    if (ins[p] > max_id) max_id = ins[p];
+  if (max_id <= 0) {
+    if (max_seq > 0) out[0 * (hw + 3) + hw + 2] = 1;  // <eos> slot
+    return 0;
+  }
+  std::vector<u64> area(static_cast<u64>(max_id) + 1, 0);
+  std::vector<int32_t> cls(static_cast<u64>(max_id) + 1,
+                           std::numeric_limits<int32_t>::max());
+  for (u64 p = 0; p < hw; ++p) {
+    int32_t id = ins[p];
+    if (id > 0) {
+      ++area[id];
+      if (seg[p] < cls[id]) cls[id] = seg[p];
+    }
+  }
+  std::vector<int32_t> ids;
+  ids.reserve(max_id);
+  for (int32_t id = 1; id <= max_id; ++id)
+    if (area[id] > 0) ids.push_back(id);
+  std::sort(ids.begin(), ids.end(), [&](int32_t a, int32_t b) {
+    if (area[a] != area[b]) return area[a] > area[b];
+    return a < b;
+  });
+  const u64 total = ids.size();
+  std::vector<int64_t> slot(static_cast<u64>(max_id) + 1, -1);
+  const u64 kept = total < max_seq ? total : max_seq;
+  for (u64 r = 0; r < kept; ++r) slot[ids[r]] = static_cast<int64_t>(r);
+  const u64 row = hw + 3;
+  for (u64 p = 0; p < hw; ++p) {
+    int32_t id = ins[p];
+    if (id > 0) {
+      int64_t r = slot[id];
+      if (r >= 0) out[static_cast<u64>(r) * row + p] = 1;
+    }
+  }
+  for (u64 r = 0; r < kept; ++r) {
+    u8* tail = out + r * row + hw;
+    int32_t c = cls[ids[r]];
+    tail[0] = static_cast<u8>(c < 0 ? 0 : (c > 255 ? 255 : c));
+    tail[1] = 1;
+    tail[2] = 1;
+  }
+  if (max_seq > total) out[total * row + hw + 2] = 1;  // <eos> slot
+  return total;
 }
 
 }  // extern "C"

@@ -145,7 +145,8 @@ def zoom_range_for(cfg) -> Tuple[float, float] | None:
 
 def augment_wire_batch(rng: jax.Array, x: jnp.ndarray, y_mask: jnp.ndarray,
                        rotation: float, translation: float, shear: float,
-                       zoom_range: Tuple[float, float] | None):
+                       zoom_range: Tuple[float, float] | None,
+                       mesh=None, force_warp: bool | None = None):
     """On-device train-batch augmentation: per-sample 50% flip + one fused
     affine, applied consistently to images (B, H, W, 3) and the packed
     instance masks (B, N, H*W) the wire format carries.
@@ -178,15 +179,36 @@ def augment_wire_batch(rng: jax.Array, x: jnp.ndarray, y_mask: jnp.ndarray,
     ids = jnp.einsum("bnhw,n->bhw", masks.astype(jnp.int32),
                      jnp.arange(1, n + 1, dtype=jnp.int32))
 
-    if warp_available(h, w, rotation, shear, zoom_range, translation) \
-            and jax.default_backend() == "tpu":
+    use_warp = (warp_available(h, w, rotation, shear, zoom_range,
+                               translation)
+                and jax.default_backend() == "tpu")
+    if force_warp is not None:
+        use_warp = force_warp
+    if use_warp:
         # two-pass Pallas warp (ops/pallas_warp): one-hot MXU matmuls
         # replace the per-element gather (31 -> 7.6 ms at the train
-        # geometry), and the flip folds into the index map for free
+        # geometry), and the flip folds into the index map for free.
+        # pallas_call has no GSPMD partitioning rule, so multi-device
+        # meshes run the warp per-shard through shard_map (everything is
+        # batch-parallel; matrices/flips shard with the batch).
+        interp = jax.default_backend() != "tpu"
         planes = jnp.concatenate(
             [jnp.moveaxis(x, -1, 1), ids[:, None].astype(x.dtype)],
             axis=1)                                     # (B, C+1, H, W)
-        warped = affine_warp_planes(planes, ms, flip=flip)
+        if mesh is not None and mesh.devices.size > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            bsp = P(tuple(mesh.axis_names))
+            warp = shard_map(
+                lambda pl_, ms_, fl_: affine_warp_planes(
+                    pl_, ms_, flip=fl_, interpret=interp),
+                mesh=mesh, in_specs=(bsp, bsp, bsp), out_specs=bsp,
+                check_vma=False)
+            warped = warp(planes, ms, flip)
+        else:
+            warped = affine_warp_planes(planes, ms, flip=flip,
+                                        interpret=interp)
         x = jnp.moveaxis(warped[:, :-1], 1, -1)
         ids_w = warped[:, -1].reshape(b, 1, h * w)
     else:

@@ -271,7 +271,7 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
             rng, k_aug = jax.random.split(rng)
             x, y_mask = augment_wire_batch(
                 k_aug, x, y_mask, cfg.rotation, cfg.translation, cfg.shear,
-                zoom_range_for(cfg))
+                zoom_range_for(cfg), mesh=mesh)
         masks, clss, stops, costs, new_stats = _forward_with_costs(
             cfg, encoder, decoder, params, batch_stats, x, y_mask, T,
             train=True, rng=rng, remat=remat, mesh=mesh)

@@ -149,3 +149,35 @@ class TestWireBatchAugment:
         idx = np.asarray(_nearest_index_map(jnp.asarray(np.eye(3),
                                                         jnp.float32), h, w))
         np.testing.assert_array_equal(idx, np.arange(h * w))
+
+
+class TestShardedWarpAug:
+    def test_mesh_warp_matches_single_device(self):
+        """The shard_map-wrapped Pallas warp (pallas_call has no GSPMD
+        rule) must reproduce the single-device augmentation exactly on a
+        2-device mesh (interpret mode, force_warp)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        b, h, w, n = 4, 128, 128, 3
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((b, h, w, 3)).astype(np.float32))
+        y = jnp.asarray((rng.random((b, n, h * w)) > 0.7).astype(np.uint8))
+        key = jax.random.PRNGKey(5)
+
+        single = augment_wire_batch(key, x, y, 10.0, 0.1, 5.0, (0.8, 1.0),
+                                    force_warp=True)
+
+        mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("data",))
+        bsh = NamedSharding(mesh, P("data"))
+        fn = jax.jit(
+            lambda k, x, y: augment_wire_batch(
+                k, x, y, 10.0, 0.1, 5.0, (0.8, 1.0), mesh=mesh,
+                force_warp=True),
+            in_shardings=(NamedSharding(mesh, P()), bsh, bsh),
+            out_shardings=(bsh, bsh))
+        sharded = fn(key, jax.device_put(x, bsh), jax.device_put(y, bsh))
+
+        np.testing.assert_array_equal(np.asarray(single[0]),
+                                      np.asarray(sharded[0]))
+        np.testing.assert_array_equal(np.asarray(single[1]),
+                                      np.asarray(sharded[1]))

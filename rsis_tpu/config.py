@@ -121,6 +121,9 @@ class Config:
     leaves_dir: str = "/data/LeavesDataset/A1/"
     leaves_test_dir: str = "/data/CVPPP2014_LSC_testing_data/A1/"
     num_workers: int = 4
+    # synthetic-dataset size (benchmark/integration runs need more
+    # than the 16-sample test default)
+    synthetic_length: int = 16
     models_root: str = "../models"
 
     # testing / evaluation
@@ -293,6 +296,8 @@ def get_parser() -> argparse.ArgumentParser:
     flag("-leaves_dir", dest="leaves_dir", default=d.leaves_dir)
     flag("-leaves_test_dir", dest="leaves_test_dir", default=d.leaves_test_dir)
     flag("-num_workers", dest="num_workers", type=int, default=d.num_workers)
+    flag("-synthetic_length", dest="synthetic_length", type=int,
+         default=d.synthetic_length)
     flag("-models_root", dest="models_root", default=d.models_root)
 
     # testing

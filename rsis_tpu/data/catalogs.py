@@ -195,7 +195,11 @@ def get_dataset(cfg, split: str, augment: bool = False,
                 imsize: int | None = None, wire_dtype: str = "float32"):
     """Dataset factory (reference: src/dataloader/dataset_utils.py:7-24)."""
     cls = DATASETS[cfg.dataset]
+    kwargs = {}
+    if cls is SyntheticBlobs:
+        kwargs["length"] = getattr(cfg, "synthetic_length", 16)
     ds = cls(cfg, split=split, augment=augment,
-             imsize=imsize or cfg.imsize, resize=cfg.resize, seed=cfg.seed)
+             imsize=imsize or cfg.imsize, resize=cfg.resize, seed=cfg.seed,
+             **kwargs)
     ds.wire_dtype = wire_dtype
     return ds

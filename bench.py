@@ -12,17 +12,33 @@ host transfer of the (B, T, 512, 1024) mask tensor pollutes the number
 (the TPU here sits behind a network tunnel where those costs are large and
 unrepresentative of on-device throughput).
 
+Output contract (the driver parses the LAST JSON line on stdout):
+  1. The headline decode line prints — flushed — the moment the decode
+     metric exists. If everything after that is killed by a timeout, the
+     headline number still stands (round 2 lost its number to exactly
+     this: the train bench's multi-minute compile ran *before* the print).
+  2. The optional train-step benches (T=5 curriculum start, then T=20
+     canonical cityscapes) each re-print the full line enriched with their
+     metrics, so the tail line is always a superset of the headline line.
+
+Environment knobs:
+  BENCH_SMALL=1       tiny CPU smoke run.
+  BENCH_FAST=1        decode headline only; skip the train benches.
+  BENCH_BUDGET_S=N    total wall-clock budget (default 2100 s). A train
+                      bench phase only starts while the budget allows.
+
 Baseline: the reference repo publishes no throughput numbers (BASELINE.md);
 ``vs_baseline`` is computed against an estimated 3.0 images/sec for the
 reference PyTorch-0.2 pipeline on its contemporaneous single GPU (~12 GB,
 README.md:113) at this geometry — the conservative estimate underlying the
->=10x north-star target. Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+>=10x north-star target.
 """
 
 import json
 import os
 import time
+
+_T_START = time.monotonic()
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +53,14 @@ except Exception:
     pass
 
 REFERENCE_IMAGES_PER_SEC_ESTIMATE = 3.0
+
+
+def _budget_s() -> float:
+    return float(os.environ.get("BENCH_BUDGET_S", "2100"))
+
+
+def _remaining_s() -> float:
+    return _budget_s() - (time.monotonic() - _T_START)
 
 
 def _synthetic_wire_batch(rng, batch, h, w, n_inst, num_classes):
@@ -66,13 +90,14 @@ def _synthetic_wire_batch(rng, batch, h, w, n_inst, num_classes):
     return imgs, tgt
 
 
-def train_step_bench(small: bool) -> dict:
+def train_step_bench(small: bool, T: int = 5) -> dict:
     """Images/sec of the full shipped training path at the reference's
     cityscapes recipe (scripts/train_cityscapes.sh: resnet101, hidden 128,
-    batch 32, curriculum start T=5) on synthetic uint8-wire batches with
-    on-device augmentation. Steps are enqueued back-to-back on donated
-    state (how the real trainer runs) and synced once at the end, so the
-    tunnel's dispatch latency amortizes instead of serializing."""
+    batch 32) on synthetic uint8-wire batches with on-device augmentation.
+    T=5 is the curriculum start, T=20 the canonical end-state. Steps are
+    enqueued back-to-back on donated state (how the real trainer runs) and
+    synced once at the end, so the tunnel's dispatch latency amortizes
+    instead of serializing."""
     import numpy as np
     import jax.numpy as jnp
     from rsis_tpu.config import Config
@@ -87,13 +112,13 @@ def train_step_bench(small: bool) -> dict:
         h, w, steps = 32, 64, 3
     else:
         cfg = Config(base_model="resnet101", hidden_size=128, num_classes=9,
-                     imsize=256, maxseqlen=5, gt_maxseqlen=20, batch_size=32,
+                     imsize=256, maxseqlen=T, gt_maxseqlen=20, batch_size=32,
                      augment=True, compute_dtype="bfloat16")
         h, w, steps = 256, 512, 12
 
     variables = init_variables(cfg, jax.random.PRNGKey(0), (64, 128))
     state = create_train_state(cfg, variables)
-    rng = __import__("numpy").random.default_rng(0)
+    rng = np.random.default_rng(0)
     imgs, tgt = _synthetic_wire_batch(rng, cfg.batch_size, h, w,
                                       cfg.gt_maxseqlen, cfg.num_classes)
     batch = (jax.device_put(imgs), jax.device_put(tgt))
@@ -106,26 +131,29 @@ def train_step_bench(small: bool) -> dict:
     for i in range(2):  # compile + warmup
         state, metrics = train_step(state, batch, flags,
                                     jax.random.fold_in(key, i))
-    float(metrics[0])  # sync (block_until_ready is a no-op on this backend)
+    loss0 = float(metrics[0])  # sync (block_until_ready no-ops here)
 
     start = time.perf_counter()
     for i in range(steps):
         state, metrics = train_step(state, batch, flags,
                                     jax.random.fold_in(key, 100 + i))
-    float(metrics[0])
+    loss1 = float(metrics[0])
     elapsed = time.perf_counter() - start
+    tag = f"T{cfg.maxseqlen}"
     return {
-        "train_step_images_per_sec": round(
+        f"train_step_{tag}_images_per_sec": round(
             cfg.batch_size * steps / elapsed, 3),
-        "train_step_ms": round(elapsed / steps * 1e3, 3),
-        "train_step_config": "resnet101 b32 256x512 T=5 uint8-wire devaug",
+        f"train_step_{tag}_ms": round(elapsed / steps * 1e3, 3),
+        # repeated steps on one batch must reduce the loss — a cheap
+        # on-hardware "the optimizer actually learns" signal
+        f"train_step_{tag}_loss_delta": round(loss1 - loss0, 4),
+        f"train_step_{tag}_config":
+            f"{cfg.base_model} b{cfg.batch_size} {h}x{w} "
+            f"T={cfg.maxseqlen} uint8-wire devaug",
     }
 
 
-def main():
-    small = os.environ.get("BENCH_SMALL", "") == "1"
-    if small:
-        jax.config.update("jax_platforms", "cpu")
+def decode_bench(small: bool) -> dict:
     from rsis_tpu.config import Config
     from rsis_tpu.models.rsis import forward, init_variables
 
@@ -172,21 +200,46 @@ def main():
 
     metric = ("bench_smoke_images_per_sec" if small
               else "cityscapes_512x1024_decode_images_per_sec")
-    line = {
+    return {
         "metric": metric,
         "value": round(images_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(
             images_per_sec / REFERENCE_IMAGES_PER_SEC_ESTIMATE, 3),
     }
-    # secondary metric in the same single JSON line: full training-step
-    # throughput (the reference's only perf signal was wall-clock per
-    # print_every, src/train.py:397-401 — it never published a number)
-    try:
-        line.update(train_step_bench(small))
-    except Exception as e:  # the headline metric must still print
-        line["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(line))
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL", "") == "1"
+    if small:
+        jax.config.update("jax_platforms", "cpu")
+
+    line = decode_bench(small)
+    # HEADLINE FIRST: everything below is optional enrichment — if a later
+    # phase hangs past the driver's timeout, this line is what survives
+    print(json.dumps(line), flush=True)
+
+    if os.environ.get("BENCH_FAST", "") == "1":
+        return
+    # secondary metrics appended to the same (re-printed) JSON line: full
+    # training-step throughput at the curriculum-start and canonical T
+    # (the reference's only perf signal was wall-clock per print_every,
+    # src/train.py:397-401 — it never published a number). Each phase only
+    # starts while the wall-clock budget allows; the compile itself cannot
+    # be preempted, so the margins are sized for a cold compile (~300 s
+    # over the tunnel; warm cache makes them nearly free).
+    for T, margin_s in ((5, 600.0), (20, 700.0)):
+        if small and T != 5:
+            break
+        if _remaining_s() < margin_s:
+            line[f"train_step_T{T}_skipped"] = (
+                f"budget: {_remaining_s():.0f}s left < {margin_s:.0f}s")
+            break
+        try:
+            line.update(train_step_bench(small, T=T))
+        except Exception as e:  # the headline metric must still stand
+            line[f"train_step_T{T}_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,11 @@ class Config:
     update_encoder: bool = False
     transfer: bool = False
     transfer_from: str = "model"
+    # path to pretrained encoder weights for fresh starts: a torchvision
+    # ImageNet state_dict (backbone only — the reference's always-on init,
+    # src/modules/model.py:25-34), a reference encoder.pt (full
+    # FeatureExtractor), or an .npz export of either (torch-free envs)
+    torch_encoder: str = ""
     curriculum_learning: bool = False
     steps_cl: int = 1
     min_steps: int = 1
@@ -208,6 +213,7 @@ def get_parser() -> argparse.ArgumentParser:
          default=d.update_encoder)
     flag("--transfer", dest="transfer", action="store_true", default=d.transfer)
     flag("-transfer_from", dest="transfer_from", default=d.transfer_from)
+    flag("-torch_encoder", dest="torch_encoder", default=d.torch_encoder)
     flag("--curriculum_learning", dest="curriculum_learning",
          action="store_true", default=d.curriculum_learning)
     flag("-steps_cl", dest="steps_cl", type=int, default=d.steps_cl)

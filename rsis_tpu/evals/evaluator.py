@@ -206,7 +206,8 @@ class Evaluator:
         results = {"stats": E.stats.tolist()}
         if cfg.all_classes:
             per_class = {}
-            for cat in list(E.params.catIds):
+            all_cats = list(E.params.catIds)
+            for cat in all_cats:
                 print("Testing class dataset_id: " + str(cat))
                 print("Which corresponds to name: " + self.class_names[cat])
                 E.params.catIds = [cat]
@@ -214,5 +215,9 @@ class Evaluator:
                 E.accumulate()
                 E.summarize()
                 per_class[self.class_names[cat]] = E.stats.tolist()
+            # the per-class loop mutates shared COCOeval params (reference
+            # quirk, src/eval.py per-class re-run); restore so a later
+            # summarize() on E doesn't silently report only the last class
+            E.params.catIds = all_cats
             results["per_class"] = per_class
         return results

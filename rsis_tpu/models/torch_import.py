@@ -138,6 +138,65 @@ def import_decoder(sd: Mapping[str, object]) -> dict:
     return p
 
 
+_STAGE_SIZES = {"resnet34": (3, 4, 6, 3), "resnet50": (3, 4, 6, 3),
+                "resnet101": (3, 4, 23, 3)}
+
+
+def load_state_dict_file(path: str) -> Dict[str, object]:
+    """Load a torch state_dict from .pt/.pth (via torch) or .npz (numpy —
+    the torch-free fallback; export with
+    ``np.savez(path, **{k: v.numpy() for k, v in sd.items()})``)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if isinstance(sd, dict) and isinstance(sd.get("state_dict"), dict):
+        sd = sd["state_dict"]
+    return dict(sd)
+
+
+def init_encoder_from_torch(path: str, base_model: str, variables: dict
+                            ) -> dict:
+    """Merge pretrained encoder weights into a fresh variables pytree.
+
+    The reference *always* trains from an ImageNet-pretrained backbone
+    (reference: src/modules/model.py:25-34); this is the fresh-start twin.
+    Two accepted layouts, auto-detected:
+
+    - a reference ``encoder.pt`` (FeatureExtractor: ``base.*`` backbone +
+      ``sk*``/``bn*`` skip heads) — replaces the whole encoder subtree;
+    - a torchvision backbone state_dict (``conv1.weight`` /
+      ``features.0.weight`` at the top level) — replaces only
+      ``encoder["base"]``; the skip heads keep their fresh init, exactly
+      like the reference's constructor.
+
+    Returns a new variables pytree; the input is not mutated.
+    """
+    sd = strip_parallel_prefix(load_state_dict_file(path))
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    enc_p = dict(params["encoder"])
+    enc_s = dict(stats["encoder"])
+    if any(k.startswith("sk1.") for k in sd):
+        new_p, new_s = import_encoder(sd, base_model)
+        enc_p, enc_s = new_p, new_s
+    elif base_model == "vgg16":
+        enc_p["base"], _ = import_vgg16(sd)
+    elif base_model in _STAGE_SIZES:
+        enc_p["base"], enc_s["base"] = import_resnet(
+            sd, _STAGE_SIZES[base_model],
+            bottleneck=base_model != "resnet34")
+    else:
+        raise ValueError(
+            f"no torch import layout for base_model={base_model!r}")
+    params["encoder"] = enc_p
+    stats["encoder"] = enc_s
+    return {"params": params, "batch_stats": stats}
+
+
 def import_reference_checkpoint(encoder_sd, decoder_sd, base_model: str):
     """Both reference state_dicts -> rsis_tpu variables pytree."""
     enc_p, enc_s = import_encoder(encoder_sd, base_model)

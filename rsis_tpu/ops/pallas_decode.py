@@ -31,9 +31,13 @@ models/rowmajor_decoder._upsample_rowmajor). The skip contribution
 s = conv_s(skip) + bias is scan-constant and precomputed once per decode
 (models/fast_decoder.py hoists it the same way).
 
-Inference-path only (the training step keeps the flax/XLA path for
-autodiff). Equivalence vs the reference cell math is unit-tested in
-interpret mode on CPU and the hardware path is exercised by bench.py.
+Serves BOTH paths: inference decodes call ``fused_cell_rowmajor``
+directly (models/rowmajor_decoder.py), and the training step routes the
+same forward kernel through the custom_vjp in ops/pallas_decode_vjp.py
+(backward = dgates-recompute kernel + transpose-conv pullback), selected
+by models/rowmajor_decoder.training_rowmajor_selected. Equivalence vs the
+reference cell math is unit-tested in interpret mode on CPU and the
+hardware path is exercised by bench.py and scripts/tpu_smoke.py.
 """
 
 from __future__ import annotations

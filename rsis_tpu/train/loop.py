@@ -102,17 +102,29 @@ class Trainer:
             state = create_train_state(cfg, variables)
         else:
             variables = init_variables(cfg, self.rng)
+            if cfg.torch_encoder:
+                # ImageNet-pretrained backbone init — the reference always
+                # starts from torchvision pretrained weights
+                # (reference: src/modules/model.py:25-34)
+                from ..models.torch_import import init_encoder_from_torch
+                variables = init_encoder_from_torch(
+                    cfg.torch_encoder, cfg.base_model, variables)
+                print("Encoder initialized from", cfg.torch_encoder)
             state = create_train_state(cfg, variables)
 
         os.makedirs(model_dir(cfg), exist_ok=True)
         cfg.save(os.path.join(model_dir(cfg), "args.json"))
 
-        log_fp = None
+        log_fp = err_fp = None
         if not cfg.log_term:
             log_path = os.path.join(model_dir(cfg), cfg.log_file)
             print("Training logs will be saved to:", log_path)
             log_fp = open(log_path, "w")
             sys.stdout = log_fp
+            # stderr goes to train.err like the reference
+            # (reference: src/train.py:253-256)
+            err_fp = open(os.path.join(model_dir(cfg), "train.err"), "w")
+            sys.stderr = err_fp
 
         print(cfg.to_dict())
 
@@ -285,6 +297,9 @@ class Trainer:
             if log_fp is not None:
                 sys.stdout = sys.__stdout__
                 log_fp.close()
+            if err_fp is not None:
+                sys.stderr = sys.__stderr__
+                err_fp.close()
         return state
 
     def _epoch_snapshot(self, monitor, cfg, state, loaders, epoch,

@@ -1,0 +1,165 @@
+"""Real-TPU correctness smoke for the Pallas fast paths (sub-minute after
+compile cache warmup; VERDICT r2 item 6).
+
+All Pallas unit tests run interpret-mode on CPU (this environment has no
+local TPU attached to pytest), so kernel correctness *on silicon* would
+otherwise rest entirely on the long bench finishing. This script is the
+cheap independent check: at a small geometry it runs
+
+  1. the Pallas row-major inference decode (ops/pallas_decode +
+     ops/pallas_mask_head via models/rowmajor_decoder) vs the XLA
+     fast-decoder fallback, and
+  2. one training step through the custom_vjp Pallas cells
+     (ops/pallas_decode_vjp via train/step.py) vs the XLA training path,
+
+asserting element-wise closeness on device (only scalars are pulled back
+over the tunnel — host transfers here run ~10 MB/s).
+
+Usage:  python scripts/tpu_smoke.py          # on the real TPU
+        SMOKE_CPU=1 python scripts/tpu_smoke.py   # CPU self-test (interpret)
+
+Exits non-zero with a diff report on any mismatch; prints one OK line per
+check otherwise.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("SMOKE_CPU", "") == "1":
+    jax.config.update("jax_platforms", "cpu")
+# parity checks need f32 matmuls (platform default is bf16)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import jax.numpy as jnp
+import numpy as np
+
+from rsis_tpu.config import Config
+from rsis_tpu.models.rsis import build_models, forward, init_variables
+
+# tiny backbone. Inference rowmajor guard needs H%8 at EVERY pyramid
+# level -> imsize 256 (levels 128,64,32,16,8); the training guard only
+# needs even H -> imsize 128 (levels 64..4) keeps its compile cheap.
+H_INF, W_INF = 256, 512
+H_TR, W_TR = 128, 256
+if os.environ.get("SMOKE_CPU", "") == "1":
+    # off-TPU the inference compare degrades to fused-XLA vs plain-XLA
+    # (rowmajor_path_available gates on hardware) — keep the self-test
+    # geometry small; the Pallas interpret coverage lives in tests/
+    H_INF, W_INF = 64, 128
+
+
+def _cfg(pallas: str, imsize: int) -> Config:
+    return Config(base_model="tiny", hidden_size=32, num_classes=4,
+                  imsize=imsize, maxseqlen=4, gt_maxseqlen=6, batch_size=2,
+                  pallas=pallas, compute_dtype="float32")
+
+
+def _report(name: str, a, b, atol: float) -> bool:
+    # max-abs-diff computed ON DEVICE; only the scalar crosses the tunnel
+    d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                              - b.astype(jnp.float32))))
+    s = float(jnp.max(jnp.abs(b.astype(jnp.float32))))
+    ok = d <= atol * (1.0 + s)
+    print(f"  {name}: max|delta|={d:.3e} scale={s:.3e} "
+          f"{'OK' if ok else 'MISMATCH'}", flush=True)
+    return ok
+
+
+def check_inference_decode() -> bool:
+    H, W = H_INF, W_INF
+    cfg_p, cfg_x = _cfg("on", H), _cfg("off", H)
+    variables = init_variables(cfg_p, jax.random.PRNGKey(0), (H, W))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, H, W, 3), jnp.float32)
+
+    from rsis_tpu.models.rowmajor_decoder import rowmajor_path_available
+    enc, _ = build_models(cfg_p)
+    skips = jax.eval_shape(
+        lambda v, xx: enc.apply(
+            {"params": v["params"]["encoder"],
+             "batch_stats": v["batch_stats"]["encoder"]}, xx, train=False),
+        variables, x)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not rowmajor_path_available(cfg_p, skips):
+        print("  geometry rejected by rowmajor guard — smoke misconfigured")
+        return False
+
+    t0 = time.time()
+    mp, cp, sp = jax.jit(lambda v, x: forward(cfg_p, v, x))(variables, x)
+    mx, cx, sx = jax.jit(lambda v, x: forward(cfg_x, v, x))(variables, x)
+    ok = True
+    ok &= _report("masks", mp, mx, 2e-5)
+    ok &= _report("class logits", cp, cx, 2e-5)
+    ok &= _report("stop logits", sp, sx, 2e-5)
+    print(f"  (inference decode, {time.time() - t0:.1f}s incl. compile; "
+          f"pallas path {'hardware' if on_tpu else 'interpret'})",
+          flush=True)
+    return ok
+
+
+def check_train_step() -> bool:
+    from rsis_tpu.train.step import (StepFlags, create_train_state,
+                                     make_train_step)
+
+    from bench import _synthetic_wire_batch  # repo-root bench.py
+    from rsis_tpu.models.rowmajor_decoder import training_rowmajor_selected
+
+    H, W = H_TR, W_TR
+
+    def one_step(pallas: str):
+        cfg = _cfg(pallas, H)
+        variables = init_variables(cfg, jax.random.PRNGKey(0), (H, W))
+        # prove the two configs genuinely diverge at the selection
+        # predicate the step branches on (guards against a vacuous
+        # pallas-vs-pallas or XLA-vs-XLA comparison)
+        enc, _ = build_models(cfg)
+        skips = jax.eval_shape(
+            lambda v, xx: enc.apply(
+                {"params": v["params"]["encoder"],
+                 "batch_stats": v["batch_stats"]["encoder"]},
+                xx, train=False),
+            variables, jax.ShapeDtypeStruct((2, H, W, 3), jnp.float32))
+        assert training_rowmajor_selected(cfg, skips) == (pallas == "on"), (
+            pallas, [s.shape for s in skips])
+        state = create_train_state(cfg, variables)
+        rng = np.random.default_rng(0)
+        imgs, tgt = _synthetic_wire_batch(rng, cfg.batch_size, H, W,
+                                          cfg.gt_maxseqlen, cfg.num_classes)
+        train_step, _ = make_train_step(cfg, donate=False)
+        flags = StepFlags(jnp.float32(1), jnp.float32(1), jnp.float32(1))
+        st, metrics = train_step(state, (jnp.asarray(imgs),
+                                         jnp.asarray(tgt)), flags,
+                                 jax.random.PRNGKey(2))
+        return st, metrics
+
+    t0 = time.time()
+    st_p, m_p = one_step("on")
+    st_x, m_x = one_step("off")
+    ok = _report("train loss", m_p[0], m_x[0], 1e-4)
+    # spot-check updated params flow through both optimizer paths equally
+    a = st_p.params["decoder"]["conv_out"]["kernel"]
+    b = st_x.params["decoder"]["conv_out"]["kernel"]
+    ok &= _report("post-step conv_out kernel", a, b, 1e-3)
+    print(f"  (train step, {time.time() - t0:.1f}s incl. compile)",
+          flush=True)
+    return ok
+
+
+def main() -> int:
+    print(f"tpu_smoke on backend={jax.default_backend()} "
+          f"devices={len(jax.devices())}", flush=True)
+    ok = True
+    print("inference decode: pallas rowmajor vs XLA fallback", flush=True)
+    ok &= check_inference_decode()
+    print("training step: custom_vjp pallas cells vs XLA path", flush=True)
+    ok &= check_train_step()
+    print("SMOKE " + ("PASS" if ok else "FAIL"), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -10,6 +10,7 @@ from .cvppp import (  # noqa: F401
     evaluate_batch,
     symmetric_best_dice,
 )
+from .cvppp_harness import lsc_evaluation  # noqa: F401
 from .evaluator import Evaluator, create_coco_object, resize_mask  # noqa: F401
 from .exporters import CityscapesExporter, LeavesExporter  # noqa: F401
 from .forward import make_forward, run_forward  # noqa: F401

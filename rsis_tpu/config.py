@@ -104,6 +104,10 @@ class Config:
     multihost: bool = False       # Cloud-TPU topology auto-discovery
     compute_dtype: str = "float32"  # or "bfloat16"
     pallas: str = "auto"          # fused inference kernels: auto|on|off
+    remat: str = "auto"           # decode-scan rematerialisation:
+                                  # auto (off while activations fit
+                                  # HBM), on, off — see
+                                  # train/step._resolve_remat
 
     # model
     base_model: str = "resnet101"
@@ -275,6 +279,8 @@ def get_parser() -> argparse.ArgumentParser:
     flag("-compute_dtype", dest="compute_dtype", default=d.compute_dtype,
          choices=["float32", "bfloat16"])
     flag("-pallas", dest="pallas", default=d.pallas,
+         choices=["auto", "on", "off"])
+    flag("-remat", dest="remat", default=d.remat,
          choices=["auto", "on", "off"])
 
     # model

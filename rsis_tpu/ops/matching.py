@@ -114,6 +114,34 @@ def _perm_from_rect(row_of_col: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
     return jnp.concatenate([head, order[:n - m].astype(jnp.int32)])
 
 
+def _perm_from_row4col(row4col: jnp.ndarray, n: int, m: int) -> jnp.ndarray:
+    """Like _perm_from_rect for the Pallas kernel's 0-indexed convention:
+    ``row4col[j]`` is the 0-indexed prediction assigned to GT slot j, -1
+    for unassigned slots."""
+    taken = row4col >= 0
+    gt = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.where(taken, row4col, m)
+    head = jnp.zeros(m, jnp.int32).at[idx].set(gt, mode="drop")
+    order = jnp.argsort(jnp.where(taken, n + gt, gt))
+    return jnp.concatenate([head, order[:n - m].astype(jnp.int32)])
+
+
+def hungarian_pallas(costs: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """`hungarian` via the single-kernel Pallas LAP solver
+    (ops/pallas_matching.py) — same (B, N) perm contract, picked on real
+    TPU where the unrolled XLA path pays ~38 ms/step of per-op dispatch
+    at T=20 (docs/PERF.md round 3). Ties between cost-equal optima may
+    resolve differently than `hungarian`; every caller is tie-agnostic."""
+    from .pallas_matching import solve_lap_batch
+
+    b, n, m = costs.shape
+    if m > n:
+        raise ValueError("more prediction columns than GT rows")
+    row4col = solve_lap_batch(costs.transpose(0, 2, 1), interpret=interpret)
+    return jax.vmap(lambda rc: _perm_from_row4col(rc, n, m))(row4col)
+
+
 def hungarian(costs: jnp.ndarray) -> jnp.ndarray:
     """Batched optimal assignment.
 
@@ -142,7 +170,7 @@ def hungarian(costs: jnp.ndarray) -> jnp.ndarray:
 
 
 def match_gt_to_predictions(y_mask: jnp.ndarray, y_class: jnp.ndarray,
-                            costs: jnp.ndarray):
+                            costs: jnp.ndarray, solver=hungarian):
     """Permute ground truth to align with prediction order.
 
     Args:
@@ -154,7 +182,7 @@ def match_gt_to_predictions(y_mask: jnp.ndarray, y_class: jnp.ndarray,
       prediction timestep t, like the reference ``match``
       (reference: src/utils/hungarian.py:91-125).
     """
-    perm = hungarian(costs)
+    perm = solver(costs)
     y_mask_perm = jnp.take_along_axis(y_mask, perm[:, :, None], axis=1)
     y_class_perm = jnp.take_along_axis(y_class, perm, axis=1)
     return y_mask_perm, y_class_perm, perm

@@ -37,7 +37,8 @@ from ..models.decoder import init_carry
 from ..models.rsis import build_models, compute_dtype
 from ..ops.losses import (
     masked_bce_loss, masked_nll_loss, soft_iou_cost, soft_iou_loss)
-from ..ops.matching import match_gt_to_predictions
+from ..ops.matching import (
+    hungarian, hungarian_pallas, match_gt_to_predictions)
 from ..ops.upsample import upsample_bilinear_align_corners
 from ..parallel.mesh import batch_sharding, replicated
 from .optim import make_optimizer, merge_params, split_params
@@ -183,8 +184,28 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
     return masks, clss, stops, costs, new_stats
 
 
+def _match_solver(cfg: Config, mesh=None):
+    """Pick the assignment solver for the train/val loss: the single-kernel
+    Pallas LAP on real TPU (measured 38 ms -> sub-ms at T=20 b32 vs the
+    unrolled XLA JV's per-op dispatch; docs/PERF.md round 3), the unrolled
+    XLA path elsewhere (CPU tests keep the scipy-oracle-proven path).
+    Under a multi-device mesh the Pallas call runs through shard_map on
+    the batch axis (pallas_call has no GSPMD rule; same contract as
+    pallas_decode.shard_cell_fn)."""
+    if cfg.pallas == "off" or jax.default_backend() != "tpu":
+        return hungarian
+    if mesh is not None and mesh.devices.size > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        bsp = P(tuple(mesh.axis_names))
+        return shard_map(hungarian_pallas, mesh=mesh, in_specs=(bsp,),
+                         out_specs=bsp, check_vma=False)
+    return hungarian_pallas
+
+
 def _losses(cfg: Config, masks, clss, stops, costs, y_mask, y_class,
-            sw_mask, sw_class, flags: StepFlags):
+            sw_mask, sw_class, flags: StepFlags, mesh=None):
     T = masks.shape[1]
     hw = masks.shape[-1]
     num_classes = clss.shape[-1]
@@ -195,7 +216,7 @@ def _losses(cfg: Config, masks, clss, stops, costs, y_mask, y_class,
     costs = lax.stop_gradient(costs)
 
     y_mask_perm, y_class_perm, _ = match_gt_to_predictions(
-        y_mask, y_class, costs)
+        y_mask, y_class, costs, solver=_match_solver(cfg, mesh))
 
     swm = sw_mask[:, :T]
     loss_iou = soft_iou_loss(y_mask_perm[:, :T].reshape(-1, hw),
@@ -247,19 +268,38 @@ def decode_batch(cfg: Config, batch):
     return x, y_mask, y_class, sw_mask, sw_class
 
 
+def _resolve_remat(cfg: Config, T: int) -> bool:
+    """cfg.remat 'auto' policy: rematerialising the decode scan costs a
+    full forward replay in the backward — measured 37.5 ms (~11%) at the
+    canonical cityscapes T=20 b32 step (docs/PERF.md round 3) — so keep
+    remat OFF whenever the saved decode activations comfortably fit HBM.
+    Estimate: 3 arrays (h_prev, c_prev, x_pad) per cell per step over the
+    5-level pyramid (sum C_l*H_l*W_l ~ 2x the finest level), worst-case
+    W = 2H, bf16."""
+    if cfg.remat in ("on", "off"):
+        return cfg.remat == "on"
+    h, w = cfg.imsize // 2, cfg.imsize  # finest decode level, W = 2H
+    fine_c = max(cfg.hidden_size // 16, 1)
+    est = 3 * 2.0 * cfg.batch_size * h * w * fine_c * 2 * T
+    return est > 4e9
+
+
 def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
-                    donate: bool = True, remat: bool = True):
+                    donate: bool = True, remat: Optional[bool] = None):
     """Build the jitted train step for a fixed decode length T.
 
     Returns ``train_step(state, batch, flags, rng) -> (state, metrics)``
     where batch = (x, y_mask, y_class, sw_mask, sw_class) and metrics is
     [total, iou, stop, class] matching the reference log order.
+    ``remat=None`` resolves from ``cfg.remat`` (see _resolve_remat).
     """
     encoder, decoder = build_models(cfg)
     enc_tx = make_optimizer(cfg.optim_cnn, cfg.lr_cnn, cfg.weight_decay_cnn,
                             cfg.momentum)
     dec_tx = make_optimizer(cfg.optim, cfg.lr, cfg.weight_decay, cfg.momentum)
     T = T or cfg.maxseqlen
+    if remat is None:
+        remat = _resolve_remat(cfg, T)
 
     def loss_fn(params, batch_stats, batch, flags, rng):
         x, y_mask, y_class, sw_mask, sw_class = decode_batch(cfg, batch)
@@ -276,7 +316,7 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
             cfg, encoder, decoder, params, batch_stats, x, y_mask, T,
             train=True, rng=rng, remat=remat, mesh=mesh)
         total, parts = _losses(cfg, masks, clss, stops, costs, y_mask,
-                               y_class, sw_mask, sw_class, flags)
+                               y_class, sw_mask, sw_class, flags, mesh=mesh)
         return total, (new_stats, parts)
 
     def train_step(state: TrainState, batch, flags: StepFlags, rng):
@@ -312,7 +352,7 @@ def make_train_step(cfg: Config, T: Optional[int] = None, mesh=None,
             cfg, encoder, decoder, state.params, state.batch_stats, x,
             y_mask, T, train=False, rng=rng, remat=False, mesh=mesh)
         total, parts = _losses(cfg, masks, clss, stops, costs, y_mask,
-                               y_class, sw_mask, sw_class, flags)
+                               y_class, sw_mask, sw_class, flags, mesh=mesh)
         loss_iou, loss_stop, loss_class = parts
         return jnp.stack([total, loss_iou, loss_stop, loss_class])
 

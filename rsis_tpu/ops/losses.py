@@ -25,7 +25,11 @@ def soft_iou_cost(target: jnp.ndarray, logits: jnp.ndarray,
     Returns:
       (...,) cost in [0, 1].
     """
-    out = jnn.sigmoid(logits)
+    # upcast before the long-axis sums: callers may pass bf16 logits (the
+    # train scan stacks masks in compute dtype — f32 stacking doubled the
+    # scan-output HBM traffic for data that only ever had bf16 precision);
+    # XLA fuses the convert into the reduce, nothing materializes
+    out = jnn.sigmoid(logits.astype(jnp.float32))
     num = jnp.sum(out * target, axis=-1)
     den = jnp.sum(out + target - out * target, axis=-1) + eps
     return 1.0 - num / den

@@ -136,23 +136,32 @@ def _cell_backward_dgates(h_prev, x_pad, c_prev, s_term, wt, dh, dc, *,
 def _conv_transpose_rowmajor(dg, wt, cin: int, ch: int, take,
                              interpret: bool = False):
     """dinput = conv3x3^T(dgates) for the slice of the packed weight
-    selected by ``take`` ("x" or "h"): a SAME conv of dg (B, H, 4C, W)
-    with the spatially-flipped transposed kernels, run through the
-    Pallas conv kernel (the 18 rowmajor XLA einsums this replaced were
-    the train backward's hottest non-encoder piece)."""
+    selected by ``take`` ("x", "h", or "xh"): a SAME conv of dg
+    (B, H, 4C, W) with the spatially-flipped transposed kernels, run
+    through the Pallas conv kernel (the 18 rowmajor XLA einsums this
+    replaced were the train backward's hottest non-encoder piece).
+
+    take="xh" computes BOTH pullbacks in ONE conv call with the weights
+    stacked along the output-channel axis (out (B, H, Cx+C, W): x rows
+    first) — the two separate calls each re-read the full dgates tensor
+    and re-built the same 9·4C-row im2col scratch, together ~47 ms of
+    the 290 ms T=20 b32 train step (docs/PERF.md round 3), and the
+    merged matmul also doubles the tiny M = C_out of each pullback."""
     cx_total = wt.shape[1] // 9 - ch
-    c_target = cx_total if take == "x" else ch
+    c_target = {"x": cx_total, "h": ch, "xh": cx_total + ch}[take]
     blocks = []
     for dy in range(3):
         for dx in range(3):
             # the flipped source tap feeding output tap (dy, dx)
             src = (2 - dy) * 3 + (2 - dx)
-            if take == "x":
-                blk = wt[:, src * cx_total:(src + 1) * cx_total]
-            else:
+            parts = []
+            if take in ("x", "xh"):
+                parts.append(wt[:, src * cx_total:(src + 1) * cx_total].T)
+            if take in ("h", "xh"):
                 base = 9 * cx_total
-                blk = wt[:, base + src * ch:base + (src + 1) * ch]
-            blocks.append(blk.T)                         # (c_target, 4C)
+                parts.append(wt[:, base + src * ch:base + (src + 1) * ch].T)
+            blocks.append(parts[0] if len(parts) == 1
+                          else jnp.concatenate(parts, axis=0))
     wpack = jnp.concatenate(blocks, axis=1)              # (c_target, 9*4C)
     return conv3x3_rowmajor(dg, wpack, cin=4 * ch, cout=c_target,
                             interpret=interpret)
@@ -211,18 +220,20 @@ def make_fused_cell_vjp(cx: int, ch: int, interpret: bool = False):
             interpret=interpret)
         ds = dg
         dwt = _weight_grad(h_prev, x_pad, dg, cx, ch)
-        dh_prev = _conv_transpose_rowmajor(dg, wt, cx, ch, take="h",
-                                           interpret=interpret)
         if cx:
-            # ring entries of x_pad do reach edge gates, but their
+            # one fused conv for both pullbacks (see take="xh" above).
+            # Ring entries of x_pad do reach edge gates, but their
             # cotangent is dropped (zero ring): every producer of x_pad
             # in this codebase writes a structurally-zero ring (the
             # pad-fused upsample matrices), whose own transpose kills
             # those grads anyway — the composed gradient is exact.
-            dx = _conv_transpose_rowmajor(dg, wt, cx, ch, take="x",
-                                          interpret=interpret)
+            dxh = _conv_transpose_rowmajor(dg, wt, cx, ch, take="xh",
+                                           interpret=interpret)
+            dx, dh_prev = dxh[:, :, :cx], dxh[:, :, cx:]
             dx_pad = jnp.pad(dx, ((0, 0), (1, 1), (0, 0), (1, 1)))
         else:
+            dh_prev = _conv_transpose_rowmajor(dg, wt, cx, ch, take="h",
+                                               interpret=interpret)
             dx_pad = jnp.zeros_like(x_pad) if x_pad is not None else None
         return dh_prev, dx_pad, dc_prev, ds, dwt
 

@@ -149,6 +149,28 @@ def check_train_step() -> bool:
     return ok
 
 
+def check_matcher() -> bool:
+    """Pallas LAP kernel vs the unrolled XLA JV at the train-step shape.
+
+    Continuous random costs have a unique optimum, so the two solvers
+    must return the identical permutation (the kernel's lane-padding
+    handling is exactly what interpret mode cannot exercise — this is
+    the silicon check; see ops/pallas_matching.py docstring)."""
+    from rsis_tpu.ops.matching import hungarian, hungarian_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    t0 = time.time()
+    costs = jax.random.normal(jax.random.PRNGKey(3), (8, 20, 20),
+                              jnp.float32) * 10.0
+    ref = hungarian(costs)
+    got = hungarian_pallas(costs, interpret=interpret)
+    d = int(jnp.sum(jnp.abs(ref - got)))
+    ok = d == 0
+    print(f"  perm delta={d} {'OK' if ok else 'MISMATCH'} "
+          f"({time.time() - t0:.1f}s incl. compile)", flush=True)
+    return ok
+
+
 def main() -> int:
     print(f"tpu_smoke on backend={jax.default_backend()} "
           f"devices={len(jax.devices())}", flush=True)
@@ -157,6 +179,8 @@ def main() -> int:
     ok &= check_inference_decode()
     print("training step: custom_vjp pallas cells vs XLA path", flush=True)
     ok &= check_train_step()
+    print("LAP matcher: pallas kernel vs unrolled XLA JV", flush=True)
+    ok &= check_matcher()
     print("SMOKE " + ("PASS" if ok else "FAIL"), flush=True)
     return 0 if ok else 1
 

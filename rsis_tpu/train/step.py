@@ -37,8 +37,7 @@ from ..models.decoder import init_carry
 from ..models.rsis import build_models, compute_dtype
 from ..ops.losses import (
     masked_bce_loss, masked_nll_loss, soft_iou_cost, soft_iou_loss)
-from ..ops.matching import (
-    hungarian, hungarian_pallas, match_gt_to_predictions)
+from ..ops.matching import hungarian, hungarian_pallas
 from ..ops.upsample import upsample_bilinear_align_corners
 from ..parallel.mesh import batch_sharding, replicated
 from .optim import make_optimizer, merge_params, split_params
@@ -185,10 +184,11 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
     if remat:
         step = jax.checkpoint(step)
     _, (masks, clss, stops, costs) = lax.scan(step, carry0, jnp.arange(T))
-    # (T, B, ...) -> (B, T, ...); costs (T, B, N) -> (B, N, T)
-    masks = jnp.moveaxis(masks, 0, 1)
-    clss = jnp.moveaxis(clss, 0, 1)
-    stops = jnp.moveaxis(stops, 0, 1)
+    # outputs stay TIME-MAJOR as the scan stacked them — transposing the
+    # (T, B, HW) mask tensor to batch-major cost a full HBM round-trip
+    # per step and the order-invariant weighted-mean losses never needed
+    # it (the GT gather in _losses emits (T, B) order directly); only the
+    # small cost tensor reshapes for the matcher: (T, B, N) -> (B, N, T)
     costs = jnp.moveaxis(costs, 0, -1)
     return masks, clss, stops, costs, new_stats
 
@@ -215,7 +215,14 @@ def _match_solver(cfg: Config, mesh=None):
 
 def _losses(cfg: Config, masks, clss, stops, costs, y_mask, y_class,
             sw_mask, sw_class, flags: StepFlags, mesh=None):
-    T = masks.shape[1]
+    """Matched losses over TIME-MAJOR predictions.
+
+    masks (T, B, HW), clss (T, B, C), stops (T, B) arrive exactly as the
+    decode scan stacked them; costs (B, N, T). The GT permutation gather
+    emits (T, B) order directly, so the big mask tensor is never
+    transposed; the weighted means are order-invariant, so the loss
+    values equal the reference's batch-major formulation."""
+    T, b = masks.shape[0], masks.shape[1]
     hw = masks.shape[-1]
     num_classes = clss.shape[-1]
     # mask invalid (row, col) pairs with cost 10 like the reference
@@ -224,18 +231,21 @@ def _losses(cfg: Config, masks, clss, stops, costs, y_mask, y_class,
     costs = cfg.iou_weight * costs * valid + (1.0 - valid) * 10.0
     costs = lax.stop_gradient(costs)
 
-    y_mask_perm, y_class_perm, _ = match_gt_to_predictions(
-        y_mask, y_class, costs, solver=_match_solver(cfg, mesh))
+    perm = _match_solver(cfg, mesh)(costs)               # (B, N)
+    idx = perm[:, :T].T                                  # (T, B)
+    brange = jnp.arange(b)[None, :]
+    y_mask_tb = y_mask[brange, idx]                      # (T, B, HW)
+    y_class_tb = y_class[brange, idx]                    # (T, B)
 
-    swm = sw_mask[:, :T]
-    loss_iou = soft_iou_loss(y_mask_perm[:, :T].reshape(-1, hw),
-                             masks.reshape(-1, hw), swm.reshape(-1))
-    loss_class = masked_nll_loss(y_class_perm[:, :T].reshape(-1),
+    swm_tb = sw_mask[:, :T].T
+    loss_iou = soft_iou_loss(y_mask_tb.reshape(-1, hw),
+                             masks.reshape(-1, hw), swm_tb.reshape(-1))
+    loss_class = masked_nll_loss(y_class_tb.reshape(-1),
                                  clss.reshape(-1, num_classes),
-                                 swm.reshape(-1))
+                                 swm_tb.reshape(-1))
     # stop head learns "keep going": target is the mask sample-weight,
     # weighted by the class sample-weight (reference: src/train.py:170-172)
-    loss_stop = masked_bce_loss(swm, stops, sw_class[:, :T],
+    loss_stop = masked_bce_loss(swm_tb, stops, sw_class[:, :T].T,
                                 cfg.stop_balance_weight)
     total = (cfg.iou_weight * loss_iou
              + flags.use_class_loss * cfg.class_weight * loss_class

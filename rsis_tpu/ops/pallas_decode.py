@@ -43,6 +43,7 @@ hardware path is exercised by bench.py and scripts/tpu_smoke.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +123,128 @@ def _stack_padded_taps(xrow_ref, x_row_fn, cn, w, pack, y0, off):
                     x_row_fn(y0 + p + dy)[:, dx:dx + w]
             off += cn
     return off
+
+
+def _tiles128(d: int) -> int:
+    return -(-d // 128)
+
+
+def _dyfold_pick(m_out: int, cn: int, h: int, w: int):
+    """Whether a dy-folded 3x3-conv matmul beats the standard one.
+
+    The standard kernels compute (M, 9*Cn) @ (9*Cn, W) per output row —
+    at the finest cells M = 4C = 32 uses a quarter of the MXU's 128 rows
+    while K = 9*Cn streams 2+ tiles. Folding the three dy tap rows into
+    M instead of K gives (3M, 3*Cn) @ (3*Cn, (th+2)*W): one matmul per
+    row-*tile* over per-input-row partial products that three output
+    rows each reuse (tap-copy traffic also drops 3x). MXU cost is
+    modelled as 128-tile counts; the (th+2)/th factor charges the
+    boundary rows the fold recomputes. The tile height is the largest
+    whose working set (fp32 partial buffer + bf16 tap scratch) stays
+    within ~6 MB of VMEM. Returns (use, th).
+
+    RSIS_DYFOLD=0 disables the fold globally (hardware kill-switch: the
+    decision is trace-time static, so the env var is read here)."""
+    if os.environ.get("RSIS_DYFOLD", "") == "0":
+        return False, None
+    if w % 128 != 0:
+        return False, None  # lane-packed coarse cells keep the std path
+    for th in (32, 16, 8):
+        if h % th == 0 and \
+                (th + 2) * w * (3 * m_out * 4 + 3 * cn * 2) <= 6_000_000:
+            break
+    else:
+        return False, None
+    cost_std = _tiles128(m_out) * _tiles128(9 * cn)
+    cost_dy = _tiles128(3 * m_out) * _tiles128(3 * cn) * (th + 2) / th
+    return cost_dy <= 0.8 * cost_std, th
+
+
+def dyfold_selected(cx: int, ch: int, h: int, w: int):
+    """dy-fold decision for the fused cell kernels (M = 4C gate rows)."""
+    return _dyfold_pick(4 * ch, cx + ch, h, w)
+
+
+def repack_dyfold(wt: jnp.ndarray, cx: int, ch: int) -> jnp.ndarray:
+    """(4C, 9*(Cx+C)) packed gate weight -> (12C, 3*(Cx+C)) dy-folded:
+    row block dy holds that tap row's weights, columns are dx-major with
+    the x channels before the h channels inside each dx block (matching
+    the dy-fold scratch layout)."""
+    g4 = wt.shape[0]
+    parts = []
+    if cx:
+        parts.append(wt[:, :9 * cx].reshape(g4, 3, 3, cx))
+    parts.append(wt[:, 9 * cx:].reshape(g4, 3, 3, ch))
+    wcat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return wcat.transpose(1, 0, 2, 3).reshape(3 * g4, 3 * (cx + ch))
+
+
+def _fill_dyfold_taps(xall_ref, x_row, h_row, *, th, w, cx, ch):
+    """Write (th+2) input rows' dx-shifted taps into the dy-fold scratch
+    (3*(Cx+C), (th+2)*W): lane block j+1 holds input row j's three
+    dx-shifted copies stacked channel-wise (x then h per dx block)."""
+    cn = cx + ch
+    zcol = jnp.zeros((1, 1), xall_ref.dtype)
+    for j in range(-1, th + 1):
+        lo = (j + 1) * w
+        if cx:
+            xs = x_row(j + 1)                    # padded row: (Cx, W+2)
+            for dx in range(3):
+                xall_ref[dx * cn:dx * cn + cx, lo:lo + w] = \
+                    xs[:, dx:dx + w]
+        hs = h_row(j)                            # unpadded row: (C, W)
+        for dx in range(3):
+            base = dx * cn + cx
+            if dx == 0:
+                xall_ref[base:base + ch, lo + 1:lo + w] = hs[:, :w - 1]
+                xall_ref[base:base + ch, lo:lo + 1] = \
+                    jnp.broadcast_to(zcol, (ch, 1))
+            elif dx == 1:
+                xall_ref[base:base + ch, lo:lo + w] = hs
+            else:
+                xall_ref[base:base + ch, lo:lo + w - 1] = hs[:, 1:]
+                xall_ref[base:base + ch, lo + w - 1:lo + w] = \
+                    jnp.broadcast_to(zcol, (ch, 1))
+
+
+def _dyfold_gate_rows(p, r, w, g4):
+    """Output row r's pre-activation gates from the partial-product
+    buffer: dy block d contributes its product with input row r+d-1
+    (lane block r+d)."""
+    return (p[0:g4, r * w:(r + 1) * w]
+            + p[g4:2 * g4, (r + 1) * w:(r + 2) * w]
+            + p[2 * g4:3 * g4, (r + 2) * w:(r + 3) * w])
+
+
+def _cell_kernel_dyfold(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref,
+                        s_ref, wt2_ref, h_out, c_out, xall_ref,
+                        *, th, w, cx, ch):
+    """dy-folded cell row-tile: ONE matmul (12C, 3Cn) @ (3Cn, (th+2)*W)
+    of per-input-row partials, then the LSTM epilogue sums each output
+    row's three dy contributions. Same halo/masking semantics as
+    _cell_kernel."""
+    h_row = _edge_masked_row_fn(hpre_ref, hb_ref, hpost_ref, th,
+                                xall_ref.dtype)
+
+    def x_row(r):
+        return xb_ref[0, r] if r < th else xh_ref[0, r - th]
+
+    _fill_dyfold_taps(xall_ref, x_row if cx else None, h_row,
+                      th=th, w=w, cx=cx, ch=ch)
+    p = jnp.dot(wt2_ref[...], xall_ref[...],
+                preferred_element_type=jnp.float32)  # (12C, (th+2)*W)
+    for r in range(th):
+        g = _dyfold_gate_rows(p, r, w, 4 * ch) \
+            + s_ref[0, r].astype(jnp.float32)
+        i_g = jax.nn.sigmoid(g[0 * ch:1 * ch])
+        f_g = jax.nn.sigmoid(g[1 * ch:2 * ch])
+        o_g = jax.nn.sigmoid(g[2 * ch:3 * ch])
+        g_g = jnp.tanh(g[3 * ch:4 * ch])
+        c_prev = c_ref[0, r].astype(jnp.float32)
+        c_new = f_g * c_prev + i_g * g_g
+        h_new = o_g * jnp.tanh(c_new)
+        h_out[0, r] = h_new.astype(h_out.dtype)
+        c_out[0, r] = c_new.astype(c_out.dtype)
 
 
 def _gates_geometry(h: int, w: int):
@@ -220,22 +343,52 @@ def _conv_kernel(pre_ref, body_ref, post_ref, wt_ref, out_ref, xrow_ref,
                 out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cin", "cout", "interpret"))
+def _conv_kernel_dyfold(pre_ref, body_ref, post_ref, wt2_ref, out_ref,
+                        xall_ref, *, th, w, cin, cout):
+    """dy-folded plain 3x3 SAME conv row-tile (see _cell_kernel_dyfold)."""
+    row = _edge_masked_row_fn(pre_ref, body_ref, post_ref, th,
+                              xall_ref.dtype)
+    _fill_dyfold_taps(xall_ref, None, row, th=th, w=w, cx=0, ch=cin)
+    p = jnp.dot(wt2_ref[...], xall_ref[...],
+                preferred_element_type=jnp.float32)  # (3*Cout, (th+2)*W)
+    for r in range(th):
+        out_ref[0, r] = _dyfold_gate_rows(p, r, w, cout).astype(
+            out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cin", "cout", "interpret",
+                                             "dyfold"))
 def conv3x3_rowmajor(x: jnp.ndarray, wt: jnp.ndarray, *, cin: int,
-                     cout: int, interpret: bool = False) -> jnp.ndarray:
+                     cout: int, interpret: bool = False,
+                     dyfold: bool | None = None) -> jnp.ndarray:
     """3x3 SAME conv on (B, H, Cin, W) with packed weights
     wt (Cout, 9*Cin) (tap-major, channel-minor rows — the kh part of
-    pack_cell_weights). Used by the cell VJP for the transposed convs."""
+    pack_cell_weights). Used by the cell VJP for the transposed convs.
+    dyfold as in fused_cell_rowmajor (None = tile-cost model)."""
     b, h, c_dim, w = x.shape
     assert c_dim == cin
     th, pack = _gates_geometry(h, w)
+    use_dy, th_dy = _dyfold_pick(cout, cin, h, w)
+    if dyfold is None:
+        dyfold = use_dy
+    elif dyfold and th_dy is None:
+        raise ValueError(f"dy-fold unavailable for H={h} W={w} "
+                         f"cin={cin} cout={cout}")
+    if dyfold:
+        th, pack = th_dy, 1
+        wt = repack_dyfold(wt, 0, cin)
+        kern = functools.partial(_conv_kernel_dyfold, th=th, w=w, cin=cin,
+                                 cout=cout)
+        scratch = pltpu.VMEM((3 * cin, (th + 2) * w), x.dtype)
+    else:
+        kern = functools.partial(_conv_kernel, th=th, w=w, cin=cin,
+                                 cout=cout, pack=pack)
+        scratch = pltpu.VMEM((9 * cin, pack * w), x.dtype)
     grid = (b, h // th)
     pre, body, post = _halo_block_specs(th, cin, w, h // th)
     out_spec = pl.BlockSpec((1, th, cout, w),
                             lambda bi, ri: (bi, ri, 0, 0),
                             memory_space=pltpu.VMEM)
-    kern = functools.partial(_conv_kernel, th=th, w=w, cin=cin, cout=cout,
-                             pack=pack)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -243,7 +396,7 @@ def conv3x3_rowmajor(x: jnp.ndarray, wt: jnp.ndarray, *, cin: int,
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, cout, w), x.dtype),
-        scratch_shapes=[pltpu.VMEM((9 * cin, pack * w), x.dtype)],
+        scratch_shapes=[scratch],
         interpret=interpret,
     )(x, x, x, wt)
 
@@ -292,11 +445,12 @@ def pad_hcw(x: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cx", "ch", "interpret"))
+                   static_argnames=("cx", "ch", "interpret", "dyfold"))
 def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
                         c_prev: jnp.ndarray, s_term: jnp.ndarray,
                         wt: jnp.ndarray, *, cx: int, ch: int,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        dyfold: bool | None = None):
     """One fused ConvLSTM cell step in the (B, H, C, W) layout.
 
     Args:
@@ -306,6 +460,9 @@ def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
       c_prev: (B, H, C, W).
       s_term: (B, H, 4C, W) scan-constant skip contribution + bias.
       wt: (4C, 9*(Cx+C)) packed weights (pack_cell_weights).
+      dyfold: force the dy-folded kernel on/off; None picks by the MXU
+        tile-cost model (dyfold_selected) — the fold wins at the finest
+        cells where 4C wastes most of the MXU's 128 rows.
     Returns:
       (h, c): each (B, H, C, W), dtype of h_prev.
     """
@@ -313,6 +470,15 @@ def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
     assert c_dim == ch and c_prev.shape == (b, h, ch, w)
     assert s_term.shape == (b, h, 4 * ch, w), s_term.shape
     th, pack = _gates_geometry(h, w)
+    use_dy, th_dy = dyfold_selected(cx, ch, h, w)
+    if dyfold is None:
+        dyfold = use_dy
+    elif dyfold and th_dy is None:
+        raise ValueError(f"dy-fold unavailable for H={h} W={w} "
+                         f"cx={cx} ch={ch}")
+    if dyfold:
+        th, pack = th_dy, 1
+        wt = repack_dyfold(wt, cx, ch)
     dtype = h_prev.dtype
     if x_pad is None:
         assert cx == 0
@@ -336,8 +502,14 @@ def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
     s_spec = pl.BlockSpec((1, th, 4 * ch, w), body_map,
                           memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_cell_kernel, th=th, w=w, cx=cx, ch=ch,
-                             pack=pack)
+    if dyfold:
+        kern = functools.partial(_cell_kernel_dyfold, th=th, w=w, cx=cx,
+                                 ch=ch)
+        scratch = pltpu.VMEM((3 * (cx + ch), (th + 2) * w), dtype)
+    else:
+        kern = functools.partial(_cell_kernel, th=th, w=w, cx=cx, ch=ch,
+                                 pack=pack)
+        scratch = pltpu.VMEM((9 * (cx + ch), pack * w), dtype)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -346,8 +518,6 @@ def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
         out_specs=[c_spec, c_spec],
         out_shape=[jax.ShapeDtypeStruct((b, h, ch, w), dtype),
                    jax.ShapeDtypeStruct((b, h, ch, w), dtype)],
-        scratch_shapes=[
-            pltpu.VMEM((9 * (cx + ch), pack * w), dtype),
-        ],
+        scratch_shapes=[scratch],
         interpret=interpret,
     )(h_prev, h_prev, h_prev, x_pad, x_pad, c_prev, s_term, wt)

@@ -36,10 +36,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import (_edge_masked_row_fn, _gates_geometry,
+from .pallas_decode import (_dyfold_gate_rows, _edge_masked_row_fn,
+                            _fill_dyfold_taps, _gates_geometry,
                             _halo_block_specs, _stack_padded_taps,
                             _stack_shifted_taps, conv3x3_rowmajor,
-                            fused_cell_rowmajor)
+                            dyfold_selected, fused_cell_rowmajor,
+                            repack_dyfold)
 
 
 def _bwd_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
@@ -88,11 +90,62 @@ def _bwd_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
             dcp_out[0, y0 + p] = (dc_tot * f_g).astype(dcp_out.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cx", "ch", "interpret"))
+def _bwd_kernel_dyfold(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref,
+                       s_ref, wt2_ref, dh_ref, dc_ref, dg_out, dcp_out,
+                       xall_ref, *, th, w, cx, ch):
+    """dy-folded gate recompute + dgates epilogue (see _cell_kernel_dyfold
+    for the fold; gradient identities as in _bwd_kernel)."""
+    h_row = _edge_masked_row_fn(hpre_ref, hb_ref, hpost_ref, th,
+                                xall_ref.dtype)
+
+    def x_row(r):
+        return xb_ref[0, r] if r < th else xh_ref[0, r - th]
+
+    _fill_dyfold_taps(xall_ref, x_row if cx else None, h_row,
+                      th=th, w=w, cx=cx, ch=ch)
+    p = jnp.dot(wt2_ref[...], xall_ref[...],
+                preferred_element_type=jnp.float32)
+    for r in range(th):
+        g_all = _dyfold_gate_rows(p, r, w, 4 * ch) \
+            + s_ref[0, r].astype(jnp.float32)
+        i_g = jax.nn.sigmoid(g_all[0 * ch:1 * ch])
+        f_g = jax.nn.sigmoid(g_all[1 * ch:2 * ch])
+        o_g = jax.nn.sigmoid(g_all[2 * ch:3 * ch])
+        g_g = jnp.tanh(g_all[3 * ch:4 * ch])
+        c_prev = c_ref[0, r].astype(jnp.float32)
+        c_new = f_g * c_prev + i_g * g_g
+        tc = jnp.tanh(c_new)
+
+        dh = dh_ref[0, r].astype(jnp.float32)
+        dc = dc_ref[0, r].astype(jnp.float32)
+        dc_tot = dc + dh * o_g * (1.0 - tc * tc)
+        d_i = dc_tot * g_g * i_g * (1.0 - i_g)
+        d_f = dc_tot * c_prev * f_g * (1.0 - f_g)
+        d_o = dh * tc * o_g * (1.0 - o_g)
+        d_g = dc_tot * i_g * (1.0 - g_g * g_g)
+
+        dg_out[0, r, 0 * ch:1 * ch] = d_i.astype(dg_out.dtype)
+        dg_out[0, r, 1 * ch:2 * ch] = d_f.astype(dg_out.dtype)
+        dg_out[0, r, 2 * ch:3 * ch] = d_o.astype(dg_out.dtype)
+        dg_out[0, r, 3 * ch:4 * ch] = d_g.astype(dg_out.dtype)
+        dcp_out[0, r] = (dc_tot * f_g).astype(dcp_out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cx", "ch", "interpret",
+                                             "dyfold"))
 def _cell_backward_dgates(h_prev, x_pad, c_prev, s_term, wt, dh, dc, *,
-                          cx: int, ch: int, interpret: bool = False):
+                          cx: int, ch: int, interpret: bool = False,
+                          dyfold: bool | None = None):
     b, h, _, w = h_prev.shape
     th, pack = _gates_geometry(h, w)
+    use_dy, th_dy = dyfold_selected(cx, ch, h, w)
+    if dyfold is None:
+        dyfold = use_dy
+    elif dyfold and th_dy is None:
+        raise ValueError("dy-fold unavailable at this geometry")
+    if dyfold:
+        th, pack = th_dy, 1
+        wt = repack_dyfold(wt, cx, ch)
     dtype = h_prev.dtype
     if x_pad is None:
         assert cx == 0
@@ -114,8 +167,14 @@ def _cell_backward_dgates(h_prev, x_pad, c_prev, s_term, wt, dh, dc, *,
     g_spec = pl.BlockSpec((1, th, 4 * ch, w), body_map,
                           memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_bwd_kernel, th=th, w=w, cx=cx, ch=ch,
-                             pack=pack)
+    if dyfold:
+        kern = functools.partial(_bwd_kernel_dyfold, th=th, w=w, cx=cx,
+                                 ch=ch)
+        scratch = pltpu.VMEM((3 * (cx + ch), (th + 2) * w), dtype)
+    else:
+        kern = functools.partial(_bwd_kernel, th=th, w=w, cx=cx, ch=ch,
+                                 pack=pack)
+        scratch = pltpu.VMEM((9 * (cx + ch), pack * w), dtype)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -125,9 +184,7 @@ def _cell_backward_dgates(h_prev, x_pad, c_prev, s_term, wt, dh, dc, *,
         out_specs=[g_spec, c_spec],
         out_shape=[jax.ShapeDtypeStruct((b, h, 4 * ch, w), dtype),
                    jax.ShapeDtypeStruct((b, h, ch, w), dtype)],
-        scratch_shapes=[
-            pltpu.VMEM((9 * (cx + ch), pack * w), dtype),
-        ],
+        scratch_shapes=[scratch],
         interpret=interpret,
     )(h_prev, h_prev, h_prev, x_pad, x_pad, c_prev, s_term, wt,
       dh, dc)

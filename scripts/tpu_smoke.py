@@ -171,6 +171,52 @@ def check_matcher() -> bool:
     return ok
 
 
+def check_dyfold() -> bool:
+    """dy-folded cell/dgates kernels vs the standard kernels at the REAL
+    cityscapes cell4 geometry (the tiny smoke model's channels are too
+    small for the tile-cost model to pick the fold, so this exercises it
+    explicitly — Mosaic padding behavior at these shapes is what
+    interpret mode cannot see)."""
+    from rsis_tpu.ops.pallas_decode import (fused_cell_rowmajor,
+                                            pack_cell_weights)
+    from rsis_tpu.ops.pallas_decode_vjp import _cell_backward_dgates
+
+    interpret = jax.default_backend() != "tpu"
+    cx, ch, b, h, w = 16, 8, 4, 128, 256
+    k = jax.random.PRNGKey(5)
+    ks = jax.random.split(k, 7)
+    hp = jax.random.normal(ks[0], (b, h, ch, w), jnp.float32)
+    x = jax.random.normal(ks[1], (b, h, cx, w), jnp.float32)
+    cp = jax.random.normal(ks[2], (b, h, ch, w), jnp.float32)
+    kern = jax.random.normal(ks[3], (3, 3, cx + ch, 4 * ch),
+                             jnp.float32) * 0.3
+    s = jax.random.normal(ks[4], (b, h, 4 * ch, w), jnp.float32) * 0.2
+    dh = jax.random.normal(ks[5], (b, h, ch, w), jnp.float32)
+    dc = jax.random.normal(ks[6], (b, h, ch, w), jnp.float32)
+    wt = pack_cell_weights(kern, cx, ch, dtype=jnp.float32)
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
+
+    t0 = time.time()
+    ok = True
+    h0, c0 = fused_cell_rowmajor(hp, x_pad, cp, s, wt, cx=cx, ch=ch,
+                                 interpret=interpret, dyfold=False)
+    h1, c1 = fused_cell_rowmajor(hp, x_pad, cp, s, wt, cx=cx, ch=ch,
+                                 interpret=interpret, dyfold=True)
+    ok &= _report("dyfold cell h", h1, h0, 2e-5)
+    ok &= _report("dyfold cell c", c1, c0, 2e-5)
+    dg0, dcp0 = _cell_backward_dgates(hp, x_pad, cp, s, wt, dh, dc,
+                                      cx=cx, ch=ch, interpret=interpret,
+                                      dyfold=False)
+    dg1, dcp1 = _cell_backward_dgates(hp, x_pad, cp, s, wt, dh, dc,
+                                      cx=cx, ch=ch, interpret=interpret,
+                                      dyfold=True)
+    ok &= _report("dyfold dgates", dg1, dg0, 2e-5)
+    ok &= _report("dyfold dc_prev", dcp1, dcp0, 2e-5)
+    print(f"  (dyfold cell4 geometry, {time.time() - t0:.1f}s incl. "
+          "compile)", flush=True)
+    return ok
+
+
 def main() -> int:
     print(f"tpu_smoke on backend={jax.default_backend()} "
           f"devices={len(jax.devices())}", flush=True)
@@ -181,6 +227,9 @@ def main() -> int:
     ok &= check_train_step()
     print("LAP matcher: pallas kernel vs unrolled XLA JV", flush=True)
     ok &= check_matcher()
+    print("dy-fold kernels: folded vs standard at cell4 geometry",
+          flush=True)
+    ok &= check_dyfold()
     print("SMOKE " + ("PASS" if ok else "FAIL"), flush=True)
     return 0 if ok else 1
 

@@ -40,14 +40,15 @@ def test_tile_cost_model_picks():
     assert not _dyfold_pick(48, 64, 64, 128)[0]      # cell3 xh pullback
 
 
-@pytest.mark.parametrize("h,w,cx,ch", [
-    (32, 128, 16, 8),   # cell4-shaped, 2 row-tiles (halo masking)
-    (16, 128, 0, 8),    # forced fold on a no-up-input cell
+@pytest.mark.parametrize("h,w,cx,ch,dt", [
+    (32, 128, 16, 8, jnp.float32),   # cell4-shaped, 2 row-tiles (halo mask)
+    (16, 128, 0, 8, jnp.float32),    # forced fold on a no-up-input cell
+    (32, 128, 16, 8, jnp.bfloat16),  # the train path's compute dtype
 ])
-def test_dyfold_cell_forward_parity(h, w, cx, ch):
+def test_dyfold_cell_forward_parity(h, w, cx, ch, dt):
     k = jax.random.PRNGKey(h + w + cx + ch)
     ks = jax.random.split(k, 5)
-    b, dt = 2, jnp.float32
+    b = 2
     x = (jax.random.normal(ks[0], (b, h, cx, w), dt) if cx else None)
     hp = jax.random.normal(ks[1], (b, h, ch, w), dt)
     cp = jax.random.normal(ks[2], (b, h, ch, w), dt)
@@ -61,12 +62,20 @@ def test_dyfold_cell_forward_parity(h, w, cx, ch):
                                      interpret=True, dyfold=True)
     h_std, c_std = fused_cell_rowmajor(hp, x_pad, cp, s, wt, cx=cx, ch=ch,
                                        interpret=True, dyfold=False)
-    np.testing.assert_allclose(np.asarray(h_dy), np.asarray(h_ref),
-                               atol=2e-5, rtol=2e-5)
-    np.testing.assert_allclose(np.asarray(c_dy), np.asarray(c_ref),
-                               atol=2e-5, rtol=2e-5)
-    np.testing.assert_allclose(np.asarray(h_dy), np.asarray(h_std),
-                               atol=2e-5, rtol=2e-5)
+    # vs the jnp oracle: bf16 inputs accumulate differently there, so the
+    # budget widens; vs the standard kernel both paths share the fp32
+    # epilogue and only the matmul association differs
+    tol = 2e-5 if dt == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(h_dy, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               atol=tol, rtol=tol)
+    np.testing.assert_allclose(np.asarray(c_dy, np.float32),
+                               np.asarray(c_ref, np.float32),
+                               atol=tol, rtol=tol)
+    tol = 2e-5 if dt == jnp.float32 else 8e-3
+    np.testing.assert_allclose(np.asarray(h_dy, np.float32),
+                               np.asarray(h_std, np.float32),
+                               atol=tol, rtol=tol)
 
 
 def test_dyfold_conv_parity():

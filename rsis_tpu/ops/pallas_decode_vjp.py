@@ -10,7 +10,9 @@ row-major layout:
   dx      = conv3x3(dgates, flip(Wx)^T)     (transposed-kernel SAME conv)
   dh_prev = conv3x3(dgates, flip(Wh)^T) + (masked halo edges match fwd)
   ds      = dgates                          (s enters additively)
-  dwt     = sum_pixels xrow ⊗ dgates        (9 shifted einsums)
+  dwt     = sum_pixels xrow ⊗ dgates        (one-pass Pallas reduction
+            kernel weight_grad_rowmajor; RSIS_PALLAS_DWT=0 falls back to
+            the 9-shifted-einsum _weight_grad)
 
 Gate math being differentiated (reference chunk order i,f,o,g,
 src/modules/clstm.py:40-62):
@@ -29,6 +31,7 @@ unit-tested in interpret mode (tests/test_pallas_vjp.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -224,6 +227,80 @@ def _conv_transpose_rowmajor(dg, wt, cin: int, ch: int, take,
                             interpret=interpret)
 
 
+def _dwt_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, dg_ref,
+                out_ref, xrow_ref, *, th, w, cx, ch, pack):
+    """Accumulate dwt = sum_pixels dgates ⊗ taps over the whole grid.
+
+    Reuses the forward kernel's in-VMEM tap stacking (same halo masking
+    and SAME-pad semantics), then contracts dgates rows against the tap
+    scratch over the pixel lanes:  (4C, pack·W) x (K, pack·W) -> (4C, K).
+    The output block index is constant, so Mosaic keeps the (4C, K) fp32
+    accumulator resident in VMEM across the whole sequential grid and
+    writes it back once — ONE pass over dgates + inputs, replacing the
+    18 shifted full-tensor einsums of _weight_grad (each of which
+    re-reads the full dgates tensor from HBM)."""
+    h_row = _edge_masked_row_fn(hpre_ref, hb_ref, hpost_ref, th,
+                                xrow_ref.dtype)
+
+    def x_row(r):
+        return xb_ref[0, r] if r < th else xh_ref[0, r - th]
+
+    bi, ri = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(jnp.logical_and(bi == 0, ri == 0))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for y0 in range(0, th, pack):
+        off = 0
+        if cx:
+            off = _stack_padded_taps(xrow_ref, x_row, cx, w, pack, y0, off)
+        _stack_shifted_taps(xrow_ref, h_row, ch, w, pack, y0, off)
+        dgp = dg_ref[0, y0] if pack == 1 else jnp.concatenate(
+            [dg_ref[0, y0 + p] for p in range(pack)], axis=1)  # (4C, pack·W)
+        out_ref[...] += lax.dot_general(
+            dgp, xrow_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("cx", "ch", "interpret"))
+def weight_grad_rowmajor(h_prev, x_pad, dg, *, cx: int, ch: int,
+                         interpret: bool = False):
+    """dwt (4C, 9*(cx+ch)) fp32 via the one-pass Pallas kernel; same
+    layout and edge semantics as _weight_grad (oracle-tested)."""
+    b, h, _, w = h_prev.shape
+    th, pack = _gates_geometry(h, w)
+    if x_pad is None:
+        assert cx == 0
+        x_pad = h_prev  # placeholder; kernel never reads it when cx == 0
+    grid = (b, h // th)
+    body_map = lambda bi, ri: (bi, ri, 0, 0)  # noqa: E731
+    h_pre, h_body, h_post = _halo_block_specs(th, ch, w, h // th)
+    x_body = pl.BlockSpec((1, th, x_pad.shape[2], x_pad.shape[3]), body_map,
+                          memory_space=pltpu.VMEM)
+    x_halo = pl.BlockSpec(
+        (1, 2, x_pad.shape[2], x_pad.shape[3]),
+        lambda bi, ri: (bi, (ri * th + th) // 2, 0, 0),
+        memory_space=pltpu.VMEM)
+    dg_spec = pl.BlockSpec((1, th, 4 * ch, w), body_map,
+                           memory_space=pltpu.VMEM)
+    k_dim = 9 * (cx + ch)
+    out_spec = pl.BlockSpec((4 * ch, k_dim), lambda bi, ri: (0, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_dwt_kernel, th=th, w=w, cx=cx, ch=ch,
+                             pack=pack)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[h_pre, h_body, h_post, x_body, x_halo, dg_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((4 * ch, k_dim), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k_dim, pack * w), h_prev.dtype)],
+        interpret=interpret,
+    )(h_prev, h_prev, h_prev, x_pad, x_pad, dg)
+
+
 def _shift2d(x, sy: int, sx: int):
     """Shift (B, H, C, W) by (-sy, -sx) with zero fill: out[y] = x[y+sy]."""
     b, h, c, w = x.shape
@@ -276,7 +353,12 @@ def make_fused_cell_vjp(cx: int, ch: int, interpret: bool = False):
             h_prev, x_pad, c_prev, s_term, wt, dh, dc, cx=cx, ch=ch,
             interpret=interpret)
         ds = dg
-        dwt = _weight_grad(h_prev, x_pad, dg, cx, ch)
+        if os.environ.get("RSIS_PALLAS_DWT", "") != "0":
+            dwt = weight_grad_rowmajor(
+                h_prev, x_pad if cx else None, dg, cx=cx, ch=ch,
+                interpret=interpret).astype(dg.dtype)
+        else:
+            dwt = _weight_grad(h_prev, x_pad, dg, cx, ch)
         if cx:
             # one fused conv for both pullbacks (see take="xh" above).
             # Ring entries of x_pad do reach edge gates, but their

@@ -217,7 +217,35 @@ def check_dyfold() -> bool:
     return ok
 
 
+def check_dwt() -> bool:
+    """One-pass Pallas weight-grad kernel vs the shifted-einsum oracle at
+    the real cityscapes cell4 geometry (grid-accumulated VMEM output —
+    the revisiting/accumulation idiom is what needs silicon proof)."""
+    from rsis_tpu.ops.pallas_decode import pad_hcw
+    from rsis_tpu.ops.pallas_decode_vjp import (_weight_grad,
+                                                weight_grad_rowmajor)
+
+    interpret = jax.default_backend() != "tpu"
+    cx, ch, b, h, w = 16, 8, 4, 128, 256
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    hp = jax.random.normal(ks[0], (b, h, ch, w), jnp.float32)
+    x_pad = pad_hcw(jax.random.normal(ks[1], (b, h, cx, w), jnp.float32))
+    dg = jax.random.normal(ks[2], (b, h, 4 * ch, w), jnp.float32)
+    t0 = time.time()
+    ref = _weight_grad(hp, x_pad, dg, cx, ch)
+    out = weight_grad_rowmajor(hp, x_pad, dg, cx=cx, ch=ch,
+                               interpret=interpret)
+    ok = _report("dwt kernel", out, ref, 2e-4)
+    print(f"  (dwt cell4 geometry, {time.time() - t0:.1f}s incl. compile)",
+          flush=True)
+    return ok
+
+
 def main() -> int:
+    # announced BEFORE backend init: when the TPU tunnel is down,
+    # jax.devices() blocks indefinitely — this line makes the hang
+    # identifiable in logs (observed 2026-08-18: multi-hour outage)
+    print("tpu_smoke: acquiring backend...", flush=True)
     print(f"tpu_smoke on backend={jax.default_backend()} "
           f"devices={len(jax.devices())}", flush=True)
     ok = True
@@ -230,6 +258,9 @@ def main() -> int:
     print("dy-fold kernels: folded vs standard at cell4 geometry",
           flush=True)
     ok &= check_dyfold()
+    print("dwt kernel: one-pass Pallas weight grad vs einsum oracle",
+          flush=True)
+    ok &= check_dwt()
     print("SMOKE " + ("PASS" if ok else "FAIL"), flush=True)
     return 0 if ok else 1
 

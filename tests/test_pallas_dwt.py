@@ -53,3 +53,15 @@ def test_dwt_packed_with_x():
     out = weight_grad_rowmajor(hp, x_pad, dg, cx=8, ch=8, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_dwt_bf16_inputs():
+    # the train path's compute dtype: bf16 operands, fp32 accumulation.
+    # _weight_grad also accumulates fp32 (preferred_element_type), so the
+    # two should agree to bf16-input noise
+    hp, x, dg = _case(3, 2, 32, 128, 16, 8, jnp.bfloat16)
+    x_pad = pad_hcw(x)
+    ref = np.asarray(_weight_grad(hp, x_pad, dg, 16, 8), np.float32)
+    out = np.asarray(weight_grad_rowmajor(hp, x_pad, dg, cx=16, ch=8,
+                                          interpret=True), np.float32)
+    np.testing.assert_allclose(out, ref, atol=5e-2, rtol=5e-2)

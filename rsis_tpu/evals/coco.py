@@ -2,9 +2,11 @@
 
 A clean reimplementation of the vendored COCO API's Python side (reference:
 src/coco/PythonAPI/pycocotools/coco.py:65-426) on top of the rsis_tpu native
-RLE kernels — only the parts the RSIS evaluation pipeline exercises:
-index construction, id queries, ``loadRes`` for building a result COCO from
-annotation dicts, and ann -> RLE/mask conversion.
+RLE kernels: index construction, id queries, ``loadRes`` for building a
+result COCO from annotation dicts / result files / Nx7 arrays, ann ->
+RLE/mask conversion, plus the utility surface (``info``, ``showAnns``,
+``download``, ``loadNumpyAnnotations``) so the full vendored API contract
+is covered.
 """
 
 from __future__ import annotations
@@ -120,7 +122,7 @@ class COCO:
             with open(resFile) as fp:
                 anns = json.load(fp)
         elif isinstance(resFile, np.ndarray):
-            raise TypeError("ndarray results not supported; pass dicts")
+            anns = self.loadNumpyAnnotations(resFile)
         else:
             anns = resFile
         assert isinstance(anns, list), "results must be a list"
@@ -182,6 +184,99 @@ class COCO:
     def info(self):
         for k, v in self.dataset.get("info", {}).items():
             print(f"{k}: {v}")
+
+    def showAnns(self, anns):
+        """Render annotations onto the current matplotlib axes
+        (reference: coco.py:240-290). Polygons draw as translucent filled
+        patches with outlines; RLE masks as alpha overlays (crowd regions
+        in the fixed crowd color); keypoint annotations as skeleton lines
+        plus visibility-coded joints. Caption annotations print."""
+        if len(anns) == 0:
+            return 0
+        if "segmentation" in anns[0] or "keypoints" in anns[0]:
+            import matplotlib.pyplot as plt
+            from matplotlib.collections import PatchCollection
+            from matplotlib.patches import Polygon
+
+            ax = plt.gca()
+            ax.set_autoscale_on(False)
+            polygons, colors = [], []
+            for ann in anns:
+                c = (np.random.random(3) * 0.6 + 0.4).tolist()
+                segm = ann.get("segmentation")
+                if isinstance(segm, list):
+                    for seg in segm:
+                        pts = np.asarray(seg).reshape(-1, 2)
+                        polygons.append(Polygon(pts))
+                        colors.append(c)
+                elif segm is not None:
+                    img = self.imgs[ann["image_id"]]
+                    if isinstance(segm["counts"], list):
+                        rle = maskUtils.frPyObjects(
+                            [segm], img["height"], img["width"])
+                    else:
+                        rle = [segm]
+                    m = maskUtils.decode(rle)
+                    if m.ndim == 3:
+                        m = m[:, :, 0]
+                    cm = (np.array([2.0, 166.0, 101.0]) / 255
+                          if ann.get("iscrowd") == 1
+                          else np.random.random(3))
+                    overlay = np.empty((m.shape[0], m.shape[1], 4))
+                    overlay[:, :, :3] = cm
+                    overlay[:, :, 3] = m * 0.5
+                    ax.imshow(overlay)
+                kp = ann.get("keypoints")
+                if isinstance(kp, list):
+                    cat = self.loadCats(ann["category_id"])[0]
+                    sks = np.asarray(cat.get("skeleton", [])) - 1
+                    kp = np.asarray(kp)
+                    x, y, v = kp[0::3], kp[1::3], kp[2::3]
+                    for sk in sks:
+                        if np.all(v[sk] > 0):
+                            plt.plot(x[sk], y[sk], linewidth=3, color=c)
+                    plt.plot(x[v > 0], y[v > 0], "o", markersize=8,
+                             markerfacecolor=c, markeredgecolor="k",
+                             markeredgewidth=2)
+                    plt.plot(x[v > 1], y[v > 1], "o", markersize=8,
+                             markerfacecolor=c, markeredgecolor=c,
+                             markeredgewidth=2)
+            ax.add_collection(PatchCollection(
+                polygons, facecolor=colors, linewidths=0, alpha=0.4))
+            ax.add_collection(PatchCollection(
+                polygons, facecolor="none", edgecolors=colors, linewidths=2))
+        elif "caption" in anns[0]:
+            for ann in anns:
+                print(ann["caption"])
+        else:
+            raise TypeError("annotation type not supported")
+
+    def download(self, tarDir=None, imgIds=[]):
+        """Fetch images by their ``coco_url`` into ``tarDir``
+        (reference: coco.py:364-383). Skips files already present. Note:
+        this build environment has no network egress — the method exists
+        for API completeness and local-url/file datasets."""
+        import os
+        import shutil
+        import urllib.request
+
+        if tarDir is None:
+            print("Please specify target directory")
+            return -1
+        imgs = (self.imgs.values() if len(imgIds) == 0
+                else self.loadImgs(imgIds))
+        os.makedirs(tarDir, exist_ok=True)
+        for i, img in enumerate(imgs):
+            tic = time.time()
+            fname = os.path.join(tarDir, img["file_name"])
+            if not os.path.exists(fname):
+                url = img["coco_url"]
+                if url.startswith("file://"):
+                    shutil.copyfile(url[len("file://"):], fname)
+                else:
+                    urllib.request.urlretrieve(url, fname)
+            print(f"downloaded {i}/{len(imgs)} images "
+                  f"(t={time.time() - tic:.1f}s)")
 
     def loadNumpyAnnotations(self, data):
         """Nx7 ndarray -> list of result dicts (bbox format)."""

@@ -142,3 +142,67 @@ class TestCOCOeval:
                  "score": 0.5 + 0.01 * i} for i in range(8)]
         E = run_eval(gt, dets, max_dets=(1, 2, 100))
         assert np.isfinite(E.stats).all()
+
+
+class TestCOCOUtilitySurface:
+    """The vendored API's utility methods (reference coco.py:240-390):
+    showAnns rendering, download, info, and Nx7-array results."""
+
+    def test_load_numpy_annotations_and_ndarray_res(self):
+        gt, boxes = gt_dataset()
+        coco = COCO(gt)
+        rows = np.array([[0, 10.0, 10.0, 20.0, 20.0, 0.9, 1],
+                         [1, 5.0, 5.0, 40.0, 40.0, 0.8, 1]])
+        anns = coco.loadNumpyAnnotations(rows)
+        assert anns[0]["image_id"] == 0 and anns[0]["category_id"] == 1
+        assert anns[1]["bbox"] == [5.0, 5.0, 40.0, 40.0]
+        # loadRes accepts the ndarray directly (reference coco.py:305-306)
+        res = coco.loadRes(rows)
+        assert len(res.anns) == 2
+        assert res.anns[1]["iscrowd"] == 0 and "segmentation" in res.anns[1]
+
+    def test_show_anns_renders_patches_and_masks(self):
+        mpl = pytest.importorskip("matplotlib")
+        mpl.use("Agg")
+        import matplotlib.pyplot as plt
+        gt, _ = gt_dataset()
+        # add a polygon annotation alongside the RLE ones
+        gt["annotations"].append(
+            {"id": 99, "image_id": 0, "category_id": 1, "iscrowd": 0,
+             "area": 100.0, "bbox": [0, 0, 10, 10],
+             "segmentation": [[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0]]})
+        coco = COCO(gt)
+        fig, ax = plt.subplots()
+        try:
+            coco.showAnns(coco.loadAnns(coco.getAnnIds(imgIds=[0])))
+            # 2 PatchCollections (fill + outline) + 2 RLE imshow overlays
+            assert len(ax.collections) == 2
+            assert len(ax.images) == 2
+            assert coco.showAnns([]) == 0
+        finally:
+            plt.close(fig)
+
+    def test_show_anns_captions_and_unsupported(self, capsys):
+        coco = COCO({"images": [], "annotations": [], "categories": []})
+        coco.showAnns([{"caption": "hello"}])
+        assert "hello" in capsys.readouterr().out
+        with pytest.raises(TypeError):
+            coco.showAnns([{"id": 1}])
+
+    def test_info_prints(self, capsys):
+        coco = COCO({"info": {"year": 2026}, "images": [],
+                     "annotations": [], "categories": []})
+        coco.info()
+        assert "year: 2026" in capsys.readouterr().out
+
+    def test_download_file_urls(self, tmp_path):
+        src = tmp_path / "img.png"
+        src.write_bytes(b"fake")
+        gt, _ = gt_dataset()
+        gt["images"][0]["file_name"] = "img.png"
+        gt["images"][0]["coco_url"] = f"file://{src}"
+        coco = COCO(gt)
+        out = tmp_path / "dl"
+        assert coco.download(None) == -1
+        coco.download(str(out), imgIds=[0])
+        assert (out / "img.png").read_bytes() == b"fake"

@@ -228,6 +228,17 @@ def main():
     # starts while the wall-clock budget allows; the compile itself cannot
     # be preempted, so the margins are sized for a cold compile (~300 s
     # over the tunnel; warm cache makes them nearly free).
+    # experimental-kernel kill-switches, tried in order after a failure:
+    # one bad kernel must degrade the train metric to its fallback number,
+    # never erase it (round 3 lost both train benches to exactly this).
+    # The env vars are read at TRACE time, and every retry rebuilds the
+    # jitted step via make_train_step, so flipping them here takes effect.
+    kill_switch_sets = (
+        {},                                           # shipped defaults
+        {"RSIS_DYFOLD": "0", "RSIS_PALLAS_DWT": "0"},  # round-3 kernels off
+        {"RSIS_DYFOLD": "0", "RSIS_PALLAS_DWT": "0",
+         "RSIS_TRAIN_ROWMAJOR": "0"},                 # XLA training path
+    )
     for T, margin_s in ((5, 600.0), (20, 700.0)):
         if small and T != 5:
             break
@@ -235,10 +246,21 @@ def main():
             line[f"train_step_T{T}_skipped"] = (
                 f"budget: {_remaining_s():.0f}s left < {margin_s:.0f}s")
             break
-        try:
-            line.update(train_step_bench(small, T=T))
-        except Exception as e:  # the headline metric must still stand
-            line[f"train_step_T{T}_error"] = f"{type(e).__name__}: {e}"[:200]
+        for switches in kill_switch_sets:
+            os.environ.update(switches)
+            try:
+                line.update(train_step_bench(small, T=T))
+                if switches:
+                    line[f"train_step_T{T}_regressed_kernels"] = \
+                        ",".join(sorted(switches))
+                break
+            except Exception as e:  # the headline metric must still stand
+                line[f"train_step_T{T}_error"] = \
+                    f"{type(e).__name__}: {e}"[:200]
+                if _remaining_s() < margin_s / 2:
+                    break
+        for k in kill_switch_sets[-1]:  # restore defaults for the next T
+            os.environ.pop(k, None)
         print(json.dumps(line), flush=True)
 
 

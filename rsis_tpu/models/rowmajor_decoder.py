@@ -25,6 +25,7 @@ Inference-only: training keeps the flax path for autodiff.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -221,6 +222,11 @@ def training_rowmajor_selected(cfg, skips, single_device: bool = True
     shard_map over the batch axis (shard_cell_fn), so ``single_device``
     no longer gates the path; it is kept for call compatibility."""
     del single_device
+    # hardware kill-switch (trace-time, like RSIS_DYFOLD): lets bench.py
+    # fall back to the XLA training path when a Pallas training kernel
+    # regresses on silicon without losing the whole train metric
+    if os.environ.get("RSIS_TRAIN_ROWMAJOR", "") == "0":
+        return False
     if cfg.pallas == "off" or cfg.skip_mode not in ("concat", "sum",
                                                     "none"):
         return False

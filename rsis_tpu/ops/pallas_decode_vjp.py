@@ -11,8 +11,9 @@ row-major layout:
   dh_prev = conv3x3(dgates, flip(Wh)^T) + (masked halo edges match fwd)
   ds      = dgates                          (s enters additively)
   dwt     = sum_pixels xrow ⊗ dgates        (one-pass Pallas reduction
-            kernel weight_grad_rowmajor; RSIS_PALLAS_DWT=0 falls back to
-            the 9-shifted-einsum _weight_grad)
+            kernel weight_grad_rowmajor at lane-full cells, the
+            9-shifted-einsum _weight_grad elsewhere — see
+            _dwt_kernel_enabled for the policy and RSIS_PALLAS_DWT)
 
 Gate math being differentiated (reference chunk order i,f,o,g,
 src/modules/clstm.py:40-62):
@@ -258,8 +259,14 @@ def _dwt_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, dg_ref,
         _stack_shifted_taps(xrow_ref, h_row, ch, w, pack, y0, off)
         dgp = dg_ref[0, y0] if pack == 1 else jnp.concatenate(
             [dg_ref[0, y0 + p] for p in range(pack)], axis=1)  # (4C, pack·W)
+        # operands upcast to f32 AT the dot: Mosaic crashes (tpu_compile
+        # subprocess exit 1) on a bf16 dot_general whose contraction is
+        # the LANE dim of both operands — observed at every cell geometry
+        # on v5e, while the identical f32 contraction compiles and is
+        # oracle-exact (scripts/probe_dwt_cells.py). The tap scratch stays
+        # in the input dtype so the VPU copies keep their bf16 width.
         out_ref[...] += lax.dot_general(
-            dgp, xrow_ref[...],
+            dgp.astype(jnp.float32), xrow_ref[...].astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
@@ -331,6 +338,30 @@ def _weight_grad(h_prev, x_pad, dg, cx: int, ch: int):
     return jnp.concatenate(blocks, axis=1).astype(dg.dtype)  # (4C, K)
 
 
+def _dwt_kernel_enabled(ch: int, w: int) -> bool:
+    """Trace-time switch for the one-pass dwt kernel. RSIS_PALLAS_DWT:
+    unset/"" = auto, "all"/"1" = everywhere, "0" = off everywhere, or a
+    comma list of hidden widths ("8,16") enabling it only for those cells
+    (per-cell silicon bisection, scripts/repro_train.py).
+
+    Auto enables the kernel only at lane-full geometries (W >= 128, i.e.
+    pack == 1): the silicon-validated domain. The lane-packed variant
+    (pack > 1, the coarse cells) passes both interpret mode AND isolated
+    hardware runs at every cell geometry/dtype, yet faults with
+    `TPU backend error (Internal)` when embedded in the full train step
+    (bisected per-cell on v5e, 2026-08-18) — and the coarse cells'
+    einsum fallback is cheap anyway (dwt cost scales with H·W; the
+    coarse cells hold <7% of the decode pixels)."""
+    v = os.environ.get("RSIS_PALLAS_DWT", "")
+    if v in ("all", "1"):
+        return True
+    if v == "0":
+        return False
+    if v in ("", "auto"):
+        return w >= 128
+    return str(ch) in v.split(",")
+
+
 @functools.lru_cache(maxsize=32)
 def make_fused_cell_vjp(cx: int, ch: int, interpret: bool = False):
     """Returns a differentiable fused cell fn(h_prev, x_pad, c_prev, s, wt)
@@ -353,7 +384,7 @@ def make_fused_cell_vjp(cx: int, ch: int, interpret: bool = False):
             h_prev, x_pad, c_prev, s_term, wt, dh, dc, cx=cx, ch=ch,
             interpret=interpret)
         ds = dg
-        if os.environ.get("RSIS_PALLAS_DWT", "") != "0":
+        if _dwt_kernel_enabled(ch, h_prev.shape[-1]):
             dwt = weight_grad_rowmajor(
                 h_prev, x_pad if cx else None, dg, cx=cx, ch=ch,
                 interpret=interpret).astype(dg.dtype)

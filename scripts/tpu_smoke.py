@@ -176,68 +176,82 @@ def check_dyfold() -> bool:
     cityscapes cell4 geometry (the tiny smoke model's channels are too
     small for the tile-cost model to pick the fold, so this exercises it
     explicitly — Mosaic padding behavior at these shapes is what
-    interpret mode cannot see)."""
+    interpret mode cannot see). Runs BOTH dtypes: the training step feeds
+    the kernels bfloat16, and Mosaic compiles bf16 and f32 differently
+    (round 3 shipped an f32-only-smoked kernel that crashed at bf16)."""
     from rsis_tpu.ops.pallas_decode import (fused_cell_rowmajor,
                                             pack_cell_weights)
     from rsis_tpu.ops.pallas_decode_vjp import _cell_backward_dgates
 
     interpret = jax.default_backend() != "tpu"
     cx, ch, b, h, w = 16, 8, 4, 128, 256
-    k = jax.random.PRNGKey(5)
-    ks = jax.random.split(k, 7)
-    hp = jax.random.normal(ks[0], (b, h, ch, w), jnp.float32)
-    x = jax.random.normal(ks[1], (b, h, cx, w), jnp.float32)
-    cp = jax.random.normal(ks[2], (b, h, ch, w), jnp.float32)
-    kern = jax.random.normal(ks[3], (3, 3, cx + ch, 4 * ch),
-                             jnp.float32) * 0.3
-    s = jax.random.normal(ks[4], (b, h, 4 * ch, w), jnp.float32) * 0.2
-    dh = jax.random.normal(ks[5], (b, h, ch, w), jnp.float32)
-    dc = jax.random.normal(ks[6], (b, h, ch, w), jnp.float32)
-    wt = pack_cell_weights(kern, cx, ch, dtype=jnp.float32)
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
-
-    t0 = time.time()
     ok = True
-    h0, c0 = fused_cell_rowmajor(hp, x_pad, cp, s, wt, cx=cx, ch=ch,
-                                 interpret=interpret, dyfold=False)
-    h1, c1 = fused_cell_rowmajor(hp, x_pad, cp, s, wt, cx=cx, ch=ch,
-                                 interpret=interpret, dyfold=True)
-    ok &= _report("dyfold cell h", h1, h0, 2e-5)
-    ok &= _report("dyfold cell c", c1, c0, 2e-5)
-    dg0, dcp0 = _cell_backward_dgates(hp, x_pad, cp, s, wt, dh, dc,
-                                      cx=cx, ch=ch, interpret=interpret,
-                                      dyfold=False)
-    dg1, dcp1 = _cell_backward_dgates(hp, x_pad, cp, s, wt, dh, dc,
-                                      cx=cx, ch=ch, interpret=interpret,
-                                      dyfold=True)
-    ok &= _report("dyfold dgates", dg1, dg0, 2e-5)
-    ok &= _report("dyfold dc_prev", dcp1, dcp0, 2e-5)
-    print(f"  (dyfold cell4 geometry, {time.time() - t0:.1f}s incl. "
-          "compile)", flush=True)
+    for dtype, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        k = jax.random.PRNGKey(5)
+        ks = jax.random.split(k, 7)
+        hp = jax.random.normal(ks[0], (b, h, ch, w), dtype)
+        x = jax.random.normal(ks[1], (b, h, cx, w), dtype)
+        cp = jax.random.normal(ks[2], (b, h, ch, w), dtype)
+        kern = jax.random.normal(ks[3], (3, 3, cx + ch, 4 * ch),
+                                 jnp.float32) * 0.3
+        s = (jax.random.normal(ks[4], (b, h, 4 * ch, w), jnp.float32)
+             * 0.2).astype(dtype)
+        dh = jax.random.normal(ks[5], (b, h, ch, w), dtype)
+        dc = jax.random.normal(ks[6], (b, h, ch, w), dtype)
+        wt = pack_cell_weights(kern, cx, ch, dtype=dtype)
+        x_pad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
+
+        t0 = time.time()
+        tag = jnp.dtype(dtype).name
+        h0, c0 = fused_cell_rowmajor(hp, x_pad, cp, s, wt, cx=cx, ch=ch,
+                                     interpret=interpret, dyfold=False)
+        h1, c1 = fused_cell_rowmajor(hp, x_pad, cp, s, wt, cx=cx, ch=ch,
+                                     interpret=interpret, dyfold=True)
+        ok &= _report(f"dyfold cell h [{tag}]", h1, h0, tol)
+        ok &= _report(f"dyfold cell c [{tag}]", c1, c0, tol)
+        dg0, dcp0 = _cell_backward_dgates(hp, x_pad, cp, s, wt, dh, dc,
+                                          cx=cx, ch=ch, interpret=interpret,
+                                          dyfold=False)
+        dg1, dcp1 = _cell_backward_dgates(hp, x_pad, cp, s, wt, dh, dc,
+                                          cx=cx, ch=ch, interpret=interpret,
+                                          dyfold=True)
+        ok &= _report(f"dyfold dgates [{tag}]", dg1, dg0, tol)
+        ok &= _report(f"dyfold dc_prev [{tag}]", dcp1, dcp0, tol)
+        print(f"  (dyfold cell4 geometry [{tag}], {time.time() - t0:.1f}s "
+              "incl. compile)", flush=True)
     return ok
 
 
 def check_dwt() -> bool:
-    """One-pass Pallas weight-grad kernel vs the shifted-einsum oracle at
-    the real cityscapes cell4 geometry (grid-accumulated VMEM output —
-    the revisiting/accumulation idiom is what needs silicon proof)."""
+    """One-pass Pallas weight-grad kernel vs the shifted-einsum oracle —
+    EVERY decoder cell geometry of the train recipe, BOTH dtypes (the
+    round-3 regression was a bf16-only Mosaic compile crash the f32-only
+    cell4 smoke couldn't see; scripts/probe_dwt_cells.py is the full
+    bisect version of this check)."""
     from rsis_tpu.ops.pallas_decode import pad_hcw
     from rsis_tpu.ops.pallas_decode_vjp import (_weight_grad,
                                                 weight_grad_rowmajor)
 
     interpret = jax.default_backend() != "tpu"
-    cx, ch, b, h, w = 16, 8, 4, 128, 256
-    ks = jax.random.split(jax.random.PRNGKey(11), 3)
-    hp = jax.random.normal(ks[0], (b, h, ch, w), jnp.float32)
-    x_pad = pad_hcw(jax.random.normal(ks[1], (b, h, cx, w), jnp.float32))
-    dg = jax.random.normal(ks[2], (b, h, 4 * ch, w), jnp.float32)
-    t0 = time.time()
-    ref = _weight_grad(hp, x_pad, dg, cx, ch)
-    out = weight_grad_rowmajor(hp, x_pad, dg, cx=cx, ch=ch,
-                               interpret=interpret)
-    ok = _report("dwt kernel", out, ref, 2e-4)
-    print(f"  (dwt cell4 geometry, {time.time() - t0:.1f}s incl. compile)",
-          flush=True)
+    b = 4
+    cells = [(0, 128, 8, 16), (128, 64, 16, 32), (64, 32, 32, 64),
+             (32, 16, 64, 128), (16, 8, 128, 256)]
+    ok = True
+    for dtype, tol in ((jnp.float32, 2e-4), (jnp.bfloat16, 2e-2)):
+        tag = jnp.dtype(dtype).name
+        t0 = time.time()
+        for i, (cx, ch, h, w) in enumerate(cells):
+            ks = jax.random.split(jax.random.PRNGKey(11 + i), 3)
+            hp = jax.random.normal(ks[0], (b, h, ch, w), dtype)
+            x_pad = (pad_hcw(jax.random.normal(ks[1], (b, h, cx, w), dtype))
+                     if cx else None)
+            dg = jax.random.normal(ks[2], (b, h, 4 * ch, w), dtype)
+            ref = _weight_grad(hp, x_pad, dg, cx, ch)
+            out = weight_grad_rowmajor(hp, x_pad, dg, cx=cx, ch=ch,
+                                       interpret=interpret)
+            ok &= _report(f"dwt cell{i} [{tag}]", out, ref, tol)
+        print(f"  (dwt all-cell geometries [{tag}], {time.time() - t0:.1f}s "
+              "incl. compile)", flush=True)
     return ok
 
 

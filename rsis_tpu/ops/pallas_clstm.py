@@ -42,6 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_decode import mxu_dot
+
 
 def _cell_kernel(xa_ref, xb_ref, ha_ref, hb_ref, c_ref, wx_ref, wh_ref,
                  b_ref, h_out, c_out, acc, *, tile_h, width, cx, ch):
@@ -54,10 +56,8 @@ def _cell_kernel(xa_ref, xb_ref, ha_ref, hb_ref, c_ref, wx_ref, wh_ref,
                     body_rows * width, cx)
                 ha = ha_ref[0, dy:tile_h, dx:dx + width, :].reshape(
                     body_rows * width, ch)
-                contrib = jnp.dot(xa, wx_ref[dy, dx],
-                                  preferred_element_type=jnp.float32)
-                contrib += jnp.dot(ha, wh_ref[dy, dx],
-                                   preferred_element_type=jnp.float32)
+                contrib = mxu_dot(xa, wx_ref[dy, dx])
+                contrib += mxu_dot(ha, wh_ref[dy, dx])
                 acc[0:body_rows * width, :] += contrib
             if dy > 0:
                 # slab rows [tile_h, tile_h + dy) come from the halo block
@@ -65,10 +65,8 @@ def _cell_kernel(xa_ref, xb_ref, ha_ref, hb_ref, c_ref, wx_ref, wh_ref,
                     dy * width, cx)
                 hb = hb_ref[0, 0:dy, dx:dx + width, :].reshape(
                     dy * width, ch)
-                tail = jnp.dot(xb, wx_ref[dy, dx],
-                               preferred_element_type=jnp.float32)
-                tail += jnp.dot(hb, wh_ref[dy, dx],
-                                preferred_element_type=jnp.float32)
+                tail = mxu_dot(xb, wx_ref[dy, dx])
+                tail += mxu_dot(hb, wh_ref[dy, dx])
                 acc[body_rows * width:tile_h * width, :] += tail
 
     gates = acc[...] + b_ref[:].astype(jnp.float32)

@@ -52,6 +52,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def mxu_dot(a: jnp.ndarray, b: jnp.ndarray,
+            dimension_numbers=None) -> jnp.ndarray:
+    """MXU contraction with an explicitly pinned precision (fp32 result).
+
+    Kernel lowering must not depend on the process-global
+    ``jax_default_matmul_precision``: under "highest" (set by parity
+    harnesses such as scripts/tpu_smoke.py and tests/conftest.py) a bf16
+    dot lowers to ``tpu.matmul`` with ``contract_precision<fp32>``, which
+    Mosaic rejects on v5e ("Bad lhs type"). bf16 operands already
+    accumulate exactly into the fp32 accumulator at DEFAULT precision, so
+    pinning DEFAULT for sub-fp32 operands loses nothing; fp32 operands pin
+    HIGHEST (exact — what the f32 parity checks validated on silicon)."""
+    prec = (lax.Precision.HIGHEST if a.dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+    if dimension_numbers is None:
+        dimension_numbers = (((a.ndim - 1,), (0,)), ((), ()))
+    return lax.dot_general(a, b, dimension_numbers, precision=prec,
+                           preferred_element_type=jnp.float32)
+
+
 def pack_cell_weights(kernel: jnp.ndarray, cx: int, ch: int,
                       dtype=jnp.bfloat16) -> jnp.ndarray:
     """(3, 3, Cx+C, 4C) HWIO gate kernel -> (4C, 9*(Cx+C)) matmul weight.
@@ -231,8 +251,7 @@ def _cell_kernel_dyfold(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref,
 
     _fill_dyfold_taps(xall_ref, x_row if cx else None, h_row,
                       th=th, w=w, cx=cx, ch=ch)
-    p = jnp.dot(wt2_ref[...], xall_ref[...],
-                preferred_element_type=jnp.float32)  # (12C, (th+2)*W)
+    p = mxu_dot(wt2_ref[...], xall_ref[...])  # (12C, (th+2)*W)
     for r in range(th):
         g = _dyfold_gate_rows(p, r, w, 4 * ch) \
             + s_ref[0, r].astype(jnp.float32)
@@ -304,8 +323,7 @@ def _cell_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
             off = _stack_padded_taps(xrow_ref, x_row, cx, w, pack, y0, off)
         _stack_shifted_taps(xrow_ref, h_row, ch, w, pack, y0, off)
 
-        gates = jnp.dot(wt_ref[...], xrow_ref[...],
-                        preferred_element_type=jnp.float32)  # (4C, pack*W)
+        gates = mxu_dot(wt_ref[...], xrow_ref[...])  # (4C, pack*W)
 
         for p in range(pack):
             g = gates[:, p * w:(p + 1) * w] \
@@ -336,8 +354,7 @@ def _conv_kernel(pre_ref, body_ref, post_ref, wt_ref, out_ref, xrow_ref,
                               xrow_ref.dtype)
     for y0 in range(0, th, pack):
         _stack_shifted_taps(xrow_ref, row, cin, w, pack, y0, 0)
-        out = jnp.dot(wt_ref[...], xrow_ref[...],
-                      preferred_element_type=jnp.float32)
+        out = mxu_dot(wt_ref[...], xrow_ref[...])
         for p in range(pack):
             out_ref[0, y0 + p] = out[:, p * w:(p + 1) * w].astype(
                 out_ref.dtype)
@@ -349,8 +366,7 @@ def _conv_kernel_dyfold(pre_ref, body_ref, post_ref, wt2_ref, out_ref,
     row = _edge_masked_row_fn(pre_ref, body_ref, post_ref, th,
                               xall_ref.dtype)
     _fill_dyfold_taps(xall_ref, None, row, th=th, w=w, cx=0, ch=cin)
-    p = jnp.dot(wt2_ref[...], xall_ref[...],
-                preferred_element_type=jnp.float32)  # (3*Cout, (th+2)*W)
+    p = mxu_dot(wt2_ref[...], xall_ref[...])  # (3*Cout, (th+2)*W)
     for r in range(th):
         out_ref[0, r] = _dyfold_gate_rows(p, r, w, cout).astype(
             out_ref.dtype)

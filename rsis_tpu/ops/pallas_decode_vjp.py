@@ -44,7 +44,7 @@ from .pallas_decode import (_dyfold_gate_rows, _edge_masked_row_fn,
                             _fill_dyfold_taps, _gates_geometry,
                             _halo_block_specs, _stack_padded_taps,
                             _stack_shifted_taps, conv3x3_rowmajor,
-                            dyfold_selected, fused_cell_rowmajor,
+                            dyfold_selected, fused_cell_rowmajor, mxu_dot,
                             repack_dyfold)
 
 
@@ -65,8 +65,7 @@ def _bwd_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref, s_ref,
             off = _stack_padded_taps(xrow_ref, x_row, cx, w, pack, y0, off)
         _stack_shifted_taps(xrow_ref, h_row, ch, w, pack, y0, off)
 
-        gates = jnp.dot(wt_ref[...], xrow_ref[...],
-                        preferred_element_type=jnp.float32)
+        gates = mxu_dot(wt_ref[...], xrow_ref[...])
 
         for p in range(pack):
             g_all = gates[:, p * w:(p + 1) * w] \
@@ -107,8 +106,7 @@ def _bwd_kernel_dyfold(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref,
 
     _fill_dyfold_taps(xall_ref, x_row if cx else None, h_row,
                       th=th, w=w, cx=cx, ch=ch)
-    p = jnp.dot(wt2_ref[...], xall_ref[...],
-                preferred_element_type=jnp.float32)
+    p = mxu_dot(wt2_ref[...], xall_ref[...])
     for r in range(th):
         g_all = _dyfold_gate_rows(p, r, w, 4 * ch) \
             + s_ref[0, r].astype(jnp.float32)
@@ -265,10 +263,9 @@ def _dwt_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, dg_ref,
         # on v5e, while the identical f32 contraction compiles and is
         # oracle-exact (scripts/probe_dwt_cells.py). The tap scratch stays
         # in the input dtype so the VPU copies keep their bf16 width.
-        out_ref[...] += lax.dot_general(
+        out_ref[...] += mxu_dot(
             dgp.astype(jnp.float32), xrow_ref[...].astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=(((1,), (1,)), ((), ())))
 
 
 @functools.partial(jax.jit, static_argnames=("cx", "ch", "interpret"))

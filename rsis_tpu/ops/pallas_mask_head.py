@@ -52,6 +52,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_decode import mxu_dot
 from .upsample import _interp_matrix
 
 
@@ -163,8 +164,7 @@ def _head_kernel(pre_ref, body_ref, post_ref, k9_ref, ucat_ref, bias_ref,
 
     # ---- 4. column interp matmul + interleaved writes ----
     bias = bias_ref[0, 0]
-    eo = jnp.dot(ye_ref[...], ucat_ref[...],
-                 preferred_element_type=jnp.float32) + bias
+    eo = mxu_dot(ye_ref[...], ucat_ref[...]) + bias
     for i in range(th):
         out_ref[0, 2 * i] = eo[i].astype(out_ref.dtype)
         out_ref[0, 2 * i + 1] = eo[th + i].astype(out_ref.dtype)

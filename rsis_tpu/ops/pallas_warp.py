@@ -68,6 +68,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_decode import mxu_dot
+
 # static shifted-variant windows (see derivation above; gated by
 # warp_available on the per-config coefficient bounds). Row tiles are 8 —
 # the Mosaic minimum sublane block.
@@ -157,13 +159,11 @@ def _pass1_kernel(x_ref, coef_ref, icoef_ref, out_ref, *, ch, th, w, h,
     ks = list(range(-(n_k // 2), n_k // 2 + 1))
     kes = list(range(-(n_ke // 2), n_ke // 2 + 1))
     a_op = jnp.concatenate([shifted(rows, k) for k in ks], axis=0)
-    g = jax.lax.dot_general(
-        a_op, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (n_k*ch*th, w)
+    g = mxu_dot(a_op, onehot,
+                (((1,), (0,)), ((), ())))  # (n_k*ch*th, w)
     a_edge = jnp.concatenate([shifted(edges, k) for k in kes], axis=0)
-    ge = jax.lax.dot_general(
-        a_edge, onehot_e, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (n_ke*2*ch, w)
+    ge = mxu_dot(a_edge, onehot_e,
+                 (((1,), (0,)), ((), ())))  # (n_ke*2*ch, w)
 
     # per-row selects
     for rr in range(th):
@@ -249,9 +249,8 @@ def _pass2_kernel(t_ref, coef_ref, icoef_ref, out_ref, *, ch, tc, h, w,
 
     ks = list(range(-(n_k // 2), n_k // 2 + 1))
     a_op = jnp.concatenate([shifted(rows, k) for k in ks], axis=0)
-    g = jax.lax.dot_general(
-        a_op, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (n_k*3ch*tc, h)
+    g = mxu_dot(a_op, onehot,
+                (((1,), (0,)), ((), ())))  # (n_k*3ch*tc, h)
     # aligned tc-slice of the edge planes (per-column 1-slices would need
     # 8-aligned sublane starts)
     etile = t_ref[0, 3 * ch:5 * ch, pl.ds(ci * tc, tc), :]  # (2ch, tc, h)

@@ -34,6 +34,13 @@ if os.environ.get("SMOKE_CPU", "") == "1":
     jax.config.update("jax_platforms", "cpu")
 # parity checks need f32 matmuls (platform default is bf16)
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: repeat smoke runs skip the multi-minute
+# remote compiles (same cache dir as bench.py)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
 
 import jax.numpy as jnp
 import numpy as np

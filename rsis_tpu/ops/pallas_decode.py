@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def mxu_dot(a: jnp.ndarray, b: jnp.ndarray,
-            dimension_numbers=None) -> jnp.ndarray:
+            dimension_numbers=None, precision=None) -> jnp.ndarray:
     """MXU contraction with an explicitly pinned precision (fp32 result).
 
     Kernel lowering must not depend on the process-global
@@ -62,13 +62,21 @@ def mxu_dot(a: jnp.ndarray, b: jnp.ndarray,
     dot lowers to ``tpu.matmul`` with ``contract_precision<fp32>``, which
     Mosaic rejects on v5e ("Bad lhs type"). bf16 operands already
     accumulate exactly into the fp32 accumulator at DEFAULT precision, so
-    pinning DEFAULT for sub-fp32 operands loses nothing; fp32 operands pin
-    HIGHEST (exact — what the f32 parity checks validated on silicon)."""
-    prec = (lax.Precision.HIGHEST if a.dtype == jnp.float32
-            else lax.Precision.DEFAULT)
+    pinning DEFAULT for sub-fp32 operands loses nothing; fp32 operands
+    default to HIGHEST (exact — what the f32 parity checks validated on
+    silicon).
+
+    ``precision`` overrides the dtype-based pick. Pass DEFAULT for f32
+    operands that were upcast from bf16 (a Mosaic workaround — bf16
+    lane-dim contractions don't compile on v5e): the 1-pass bf16 MXU
+    path is bit-exact for bf16-origin data and ~6x the throughput of the
+    full-f32 HIGHEST decomposition."""
+    if precision is None:
+        precision = (lax.Precision.HIGHEST if a.dtype == jnp.float32
+                     else lax.Precision.DEFAULT)
     if dimension_numbers is None:
         dimension_numbers = (((a.ndim - 1,), (0,)), ((), ()))
-    return lax.dot_general(a, b, dimension_numbers, precision=prec,
+    return lax.dot_general(a, b, dimension_numbers, precision=precision,
                            preferred_element_type=jnp.float32)
 
 
@@ -149,6 +157,23 @@ def _tiles128(d: int) -> int:
     return -(-d // 128)
 
 
+def _dyfold_th(m_out: int, cn: int, h: int, w: int):
+    """Largest legal dy-fold tile height at this geometry, or None.
+
+    Pure geometry — no env reads, so jitted kernel bodies may call it
+    (their traces are cached; anything env-dependent must be resolved
+    OUTSIDE the jit boundary, see the public wrappers below). The tile
+    height is the largest whose working set (fp32 partial buffer + bf16
+    tap scratch) stays within ~6 MB of VMEM."""
+    if w % 128 != 0:
+        return None  # lane-packed coarse cells keep the std path
+    for th in (32, 16, 8):
+        if h % th == 0 and \
+                (th + 2) * w * (3 * m_out * 4 + 3 * cn * 2) <= 6_000_000:
+            return th
+    return None
+
+
 def _dyfold_pick(m_out: int, cn: int, h: int, w: int):
     """Whether a dy-folded 3x3-conv matmul beats the standard one.
 
@@ -159,21 +184,18 @@ def _dyfold_pick(m_out: int, cn: int, h: int, w: int):
     row-*tile* over per-input-row partial products that three output
     rows each reuse (tap-copy traffic also drops 3x). MXU cost is
     modelled as 128-tile counts; the (th+2)/th factor charges the
-    boundary rows the fold recomputes. The tile height is the largest
-    whose working set (fp32 partial buffer + bf16 tap scratch) stays
-    within ~6 MB of VMEM. Returns (use, th).
+    boundary rows the fold recomputes. Returns (use, th).
 
-    RSIS_DYFOLD=0 disables the fold globally (hardware kill-switch: the
-    decision is trace-time static, so the env var is read here)."""
+    RSIS_DYFOLD=0 disables the fold globally (hardware kill-switch).
+    Because of the env read this must only run in plain Python at the
+    kernel call boundary — never inside a jitted body, whose trace JAX
+    caches across later env flips (the round-4 A/B-probe bug: flipping
+    RSIS_DYFOLD mid-process was silently ignored for already-traced
+    shapes)."""
     if os.environ.get("RSIS_DYFOLD", "") == "0":
         return False, None
-    if w % 128 != 0:
-        return False, None  # lane-packed coarse cells keep the std path
-    for th in (32, 16, 8):
-        if h % th == 0 and \
-                (th + 2) * w * (3 * m_out * 4 + 3 * cn * 2) <= 6_000_000:
-            break
-    else:
+    th = _dyfold_th(m_out, cn, h, w)
+    if th is None:
         return False, None
     cost_std = _tiles128(m_out) * _tiles128(9 * cn)
     cost_dy = _tiles128(3 * m_out) * _tiles128(3 * cn) * (th + 2) / th
@@ -372,25 +394,32 @@ def _conv_kernel_dyfold(pre_ref, body_ref, post_ref, wt2_ref, out_ref,
             out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cin", "cout", "interpret",
-                                             "dyfold"))
 def conv3x3_rowmajor(x: jnp.ndarray, wt: jnp.ndarray, *, cin: int,
                      cout: int, interpret: bool = False,
                      dyfold: bool | None = None) -> jnp.ndarray:
     """3x3 SAME conv on (B, H, Cin, W) with packed weights
     wt (Cout, 9*Cin) (tap-major, channel-minor rows — the kh part of
     pack_cell_weights). Used by the cell VJP for the transposed convs.
-    dyfold as in fused_cell_rowmajor (None = tile-cost model)."""
+    dyfold as in fused_cell_rowmajor (None = tile-cost model, resolved
+    in this plain-Python wrapper so RSIS_DYFOLD flips reach new traces)."""
+    if dyfold is None:
+        dyfold = _dyfold_pick(cout, cin, x.shape[1], x.shape[3])[0]
+    return _conv3x3_rowmajor(x, wt, cin=cin, cout=cout,
+                             interpret=interpret, dyfold=bool(dyfold))
+
+
+@functools.partial(jax.jit, static_argnames=("cin", "cout", "interpret",
+                                             "dyfold"))
+def _conv3x3_rowmajor(x, wt, *, cin: int, cout: int, interpret: bool,
+                      dyfold: bool) -> jnp.ndarray:
     b, h, c_dim, w = x.shape
     assert c_dim == cin
     th, pack = _gates_geometry(h, w)
-    use_dy, th_dy = _dyfold_pick(cout, cin, h, w)
-    if dyfold is None:
-        dyfold = use_dy
-    elif dyfold and th_dy is None:
-        raise ValueError(f"dy-fold unavailable for H={h} W={w} "
-                         f"cin={cin} cout={cout}")
     if dyfold:
+        th_dy = _dyfold_th(cout, cin, h, w)
+        if th_dy is None:
+            raise ValueError(f"dy-fold unavailable for H={h} W={w} "
+                             f"cin={cin} cout={cout}")
         th, pack = th_dy, 1
         wt = repack_dyfold(wt, 0, cin)
         kern = functools.partial(_conv_kernel_dyfold, th=th, w=w, cin=cin,
@@ -460,8 +489,6 @@ def pad_hcw(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (1, 1), (0, 0), (1, 1)))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cx", "ch", "interpret", "dyfold"))
 def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
                         c_prev: jnp.ndarray, s_term: jnp.ndarray,
                         wt: jnp.ndarray, *, cx: int, ch: int,
@@ -479,20 +506,36 @@ def fused_cell_rowmajor(h_prev: jnp.ndarray, x_pad: jnp.ndarray | None,
       dyfold: force the dy-folded kernel on/off; None picks by the MXU
         tile-cost model (dyfold_selected) — the fold wins at the finest
         cells where 4C wastes most of the MXU's 128 rows.
+
+    Plain-Python wrapper: the env-dependent dy-fold choice is resolved
+    HERE, outside jit, so the jitted impl's trace cache keys on the
+    concrete boolean and RSIS_DYFOLD flips take effect on later traces
+    (bench.py's kill-switch retry, the A/B probes).
+
     Returns:
       (h, c): each (B, H, C, W), dtype of h_prev.
     """
+    if dyfold is None:
+        dyfold = dyfold_selected(cx, ch, h_prev.shape[1],
+                                 h_prev.shape[3])[0]
+    return _fused_cell_rowmajor(h_prev, x_pad, c_prev, s_term, wt, cx=cx,
+                                ch=ch, interpret=interpret,
+                                dyfold=bool(dyfold))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cx", "ch", "interpret", "dyfold"))
+def _fused_cell_rowmajor(h_prev, x_pad, c_prev, s_term, wt, *, cx: int,
+                         ch: int, interpret: bool, dyfold: bool):
     b, h, c_dim, w = h_prev.shape
     assert c_dim == ch and c_prev.shape == (b, h, ch, w)
     assert s_term.shape == (b, h, 4 * ch, w), s_term.shape
     th, pack = _gates_geometry(h, w)
-    use_dy, th_dy = dyfold_selected(cx, ch, h, w)
-    if dyfold is None:
-        dyfold = use_dy
-    elif dyfold and th_dy is None:
-        raise ValueError(f"dy-fold unavailable for H={h} W={w} "
-                         f"cx={cx} ch={ch}")
     if dyfold:
+        th_dy = _dyfold_th(4 * ch, cx + ch, h, w)
+        if th_dy is None:
+            raise ValueError(f"dy-fold unavailable for H={h} W={w} "
+                             f"cx={cx} ch={ch}")
         th, pack = th_dy, 1
         wt = repack_dyfold(wt, cx, ch)
     dtype = h_prev.dtype

@@ -40,7 +40,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_decode import (_dyfold_gate_rows, _edge_masked_row_fn,
+from .pallas_decode import (_dyfold_gate_rows, _dyfold_th,
+                            _edge_masked_row_fn,
                             _fill_dyfold_taps, _gates_geometry,
                             _halo_block_specs, _stack_padded_taps,
                             _stack_shifted_taps, conv3x3_rowmajor,
@@ -133,19 +134,32 @@ def _bwd_kernel_dyfold(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, c_ref,
         dcp_out[0, r] = (dc_tot * f_g).astype(dcp_out.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cx", "ch", "interpret",
-                                             "dyfold"))
 def _cell_backward_dgates(h_prev, x_pad, c_prev, s_term, wt, dh, dc, *,
                           cx: int, ch: int, interpret: bool = False,
                           dyfold: bool | None = None):
+    # plain-Python wrapper: resolve the env-dependent dy-fold choice
+    # outside jit so RSIS_DYFOLD flips reach new traces (see
+    # pallas_decode.fused_cell_rowmajor)
+    if dyfold is None:
+        dyfold = dyfold_selected(cx, ch, h_prev.shape[1],
+                                 h_prev.shape[3])[0]
+    return _cell_backward_dgates_jit(h_prev, x_pad, c_prev, s_term, wt,
+                                     dh, dc, cx=cx, ch=ch,
+                                     interpret=interpret,
+                                     dyfold=bool(dyfold))
+
+
+@functools.partial(jax.jit, static_argnames=("cx", "ch", "interpret",
+                                             "dyfold"))
+def _cell_backward_dgates_jit(h_prev, x_pad, c_prev, s_term, wt, dh, dc,
+                              *, cx: int, ch: int, interpret: bool,
+                              dyfold: bool):
     b, h, _, w = h_prev.shape
     th, pack = _gates_geometry(h, w)
-    use_dy, th_dy = dyfold_selected(cx, ch, h, w)
-    if dyfold is None:
-        dyfold = use_dy
-    elif dyfold and th_dy is None:
-        raise ValueError("dy-fold unavailable at this geometry")
     if dyfold:
+        th_dy = _dyfold_th(4 * ch, cx + ch, h, w)
+        if th_dy is None:
+            raise ValueError("dy-fold unavailable at this geometry")
         th, pack = th_dy, 1
         wt = repack_dyfold(wt, cx, ch)
     dtype = h_prev.dtype
@@ -263,9 +277,15 @@ def _dwt_kernel(hpre_ref, hb_ref, hpost_ref, xb_ref, xh_ref, dg_ref,
         # on v5e, while the identical f32 contraction compiles and is
         # oracle-exact (scripts/probe_dwt_cells.py). The tap scratch stays
         # in the input dtype so the VPU copies keep their bf16 width.
+        # Precision follows the ORIGINAL dtype: for bf16-origin operands
+        # the 1-pass bf16 MXU path (DEFAULT) is bit-exact and ~6x the
+        # HIGHEST full-f32 decomposition (isolated A/B: cell4 8.0 -> ~3 ms);
+        # true-f32 inputs keep HIGHEST for the parity checks.
+        prec = (lax.Precision.HIGHEST if dg_ref.dtype == jnp.float32
+                else lax.Precision.DEFAULT)
         out_ref[...] += mxu_dot(
             dgp.astype(jnp.float32), xrow_ref[...].astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())))
+            dimension_numbers=(((1,), (1,)), ((), ())), precision=prec)
 
 
 @functools.partial(jax.jit, static_argnames=("cx", "ch", "interpret"))
@@ -341,21 +361,26 @@ def _dwt_kernel_enabled(ch: int, w: int) -> bool:
     comma list of hidden widths ("8,16") enabling it only for those cells
     (per-cell silicon bisection, scripts/repro_train.py).
 
-    Auto enables the kernel only at lane-full geometries (W >= 128, i.e.
-    pack == 1): the silicon-validated domain. The lane-packed variant
-    (pack > 1, the coarse cells) passes both interpret mode AND isolated
-    hardware runs at every cell geometry/dtype, yet faults with
-    `TPU backend error (Internal)` when embedded in the full train step
-    (bisected per-cell on v5e, 2026-08-18) — and the coarse cells'
-    einsum fallback is cheap anyway (dwt cost scales with H·W; the
-    coarse cells hold <7% of the decode pixels)."""
+    Auto enables the kernel only at the widest lane-full geometries
+    (W >= 256): the silicon-validated domain where it measurably wins.
+    Step-level A/B at the T=20 cityscapes recipe (perf_probe_dwt_step,
+    2026-08-19, v5e): einsum everywhere 261.2 ms, cell4 only 254.5 ms,
+    cells 3+4 254.9 ms — the finest cell carries the entire ~6.5 ms win
+    and cell3 is a wash (its isolated numbers are noise-dominated). The
+    lane-packed variant (pack > 1, the coarse cells) passes both
+    interpret mode AND isolated hardware runs at every cell
+    geometry/dtype, yet faults with `TPU backend error (Internal)` when
+    embedded in the full train step (bisected per-cell on v5e,
+    2026-08-18) — and the coarse cells' einsum fallback is cheap anyway
+    (dwt cost scales with H·W; the coarse cells hold <7% of the decode
+    pixels)."""
     v = os.environ.get("RSIS_PALLAS_DWT", "")
     if v in ("all", "1"):
         return True
     if v == "0":
         return False
     if v in ("", "auto"):
-        return w >= 128
+        return w >= 256
     return str(ch) in v.split(",")
 
 

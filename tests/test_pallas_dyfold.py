@@ -161,3 +161,61 @@ def test_dyfold_full_vjp_matches_jax_grad():
         np.testing.assert_allclose(
             np.asarray(p), np.asarray(a), atol=5e-4, rtol=5e-4,
             err_msg=f"grad mismatch for {name}")
+
+
+def test_env_flip_resolved_at_call_boundary(monkeypatch):
+    """RSIS_DYFOLD flips must reach NEW traces mid-process.
+
+    Round-4 bug: the env var was read inside module-level-jitted kernel
+    bodies, whose traces JAX caches by static args — flipping the var
+    between two make_train_step builds was silently ignored (the first
+    dy-fold A/B measured standard-vs-standard). The public entry points
+    are now plain-Python wrappers that resolve the choice at the call
+    boundary; this test intercepts the jitted impl to observe the
+    concrete static bool each call passes."""
+    import rsis_tpu.ops.pallas_decode as pd
+
+    seen = []
+    monkeypatch.setattr(
+        pd, "_fused_cell_rowmajor",
+        lambda *a, **k: seen.append(k["dyfold"]))
+
+    cx, ch, h, w = 16, 8, 128, 256  # train cell4: the fold fires here
+    hp = jnp.zeros((1, h, ch, w), jnp.bfloat16)
+    xp = jnp.zeros((1, h + 2, cx, w + 2), jnp.bfloat16)
+    s = jnp.zeros((1, h, 4 * ch, w), jnp.bfloat16)
+    wt = jnp.zeros((4 * ch, 9 * (cx + ch)), jnp.bfloat16)
+
+    monkeypatch.setenv("RSIS_DYFOLD", "0")
+    pd.fused_cell_rowmajor(hp, xp, hp, s, wt, cx=cx, ch=ch)
+    monkeypatch.delenv("RSIS_DYFOLD")
+    pd.fused_cell_rowmajor(hp, xp, hp, s, wt, cx=cx, ch=ch)
+    assert seen == [False, True]
+
+
+def test_dwt_auto_policy():
+    """The dwt kernel auto-enables exactly where it measurably won on
+    silicon (perf_probe_dwt_step 2026-08-19: cell4 carries the win;
+    lane-packed cells fault in-step) and honors the overrides."""
+    from rsis_tpu.ops.pallas_decode_vjp import _dwt_kernel_enabled
+
+    def with_env(val, ch, w, monkey=None):
+        import os
+        old = os.environ.pop("RSIS_PALLAS_DWT", None)
+        if val is not None:
+            os.environ["RSIS_PALLAS_DWT"] = val
+        try:
+            return _dwt_kernel_enabled(ch, w)
+        finally:
+            os.environ.pop("RSIS_PALLAS_DWT", None)
+            if old is not None:
+                os.environ["RSIS_PALLAS_DWT"] = old
+
+    assert with_env(None, 8, 256)          # train cell4: on
+    assert not with_env(None, 16, 128)     # train cell3: wash -> off
+    assert not with_env(None, 128, 16)     # coarse packed cell: off
+    assert with_env(None, 8, 512)          # bench-geometry cell4: on
+    assert not with_env("0", 8, 256)       # global kill-switch
+    assert with_env("all", 128, 16)        # force everywhere
+    assert with_env("8,16", 16, 128)       # per-cell list
+    assert not with_env("8,16", 32, 64)

@@ -45,6 +45,7 @@ bench.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -73,10 +74,12 @@ def _col_cat_matrix(w: int) -> np.ndarray:
     return np.concatenate(blocks, axis=0)
 
 
-def _head_kernel(pre_ref, body_ref, post_ref, k9_ref, ucat_ref, bias_ref,
-                 out_ref, z_ref, qe_ref, qo_ref, ye_ref,
-                 *, th, w, c, h, hr):
-    """One row-tile: 2*th output rows of one batch element.
+def _fill_phase_blocks(pre_ref, body_ref, post_ref, k9_ref,
+                       z_ref, qe_ref, qo_ref, ye_ref,
+                       *, th, w, c, h, hr):
+    """Stages 1-3 shared by both kernel tails: fill ye (2*th, 3W) with the
+    dy-summed, row-upsampled tap blocks (even-phase rows stacked over
+    odd-phase rows; dx-major column blocks).
 
     pre/body/post: 1+th+1 row halo decomposition of the input — aligned
     halo blocks whose last (pre) / first (post) row is the halo row,
@@ -84,9 +87,8 @@ def _head_kernel(pre_ref, body_ref, post_ref, k9_ref, ucat_ref, bias_ref,
     (see module docstring). Input blocks are channel-planes-major
     (1, C, th, W) — contiguous plane reads; a sublane-strided read of the
     native (1, th, C, W) layout measured 4x slower on hardware.
-    k9 (9, C) f32 tap weights, ucat (3W, 2W) stacked column operators,
-    bias (1, 1) f32. Scratch: z (9*(th+2), W) input dtype,
-    qe/qo (9*(th+1), W) f32, ye (2*th, 3W) phase-stacked matmul operand.
+    k9 (9, C) f32 tap weights. Scratch: z (9*(th+2), W) input dtype,
+    qe/qo (9*(th+1), W) f32, ye (2*th, 3W).
     """
     ri = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -162,12 +164,97 @@ def _head_kernel(pre_ref, body_ref, post_ref, k9_ref, ucat_ref, bias_ref,
         ye_ref[:th, dx * w:(dx + 1) * w] = ye.astype(dt)
         ye_ref[th:, dx * w:(dx + 1) * w] = yo.astype(dt)
 
-    # ---- 4. column interp matmul + interleaved writes ----
+
+def _head_kernel(pre_ref, body_ref, post_ref, k9_ref, ucat_ref, bias_ref,
+                 out_ref, z_ref, qe_ref, qo_ref, ye_ref,
+                 *, th, w, c, h, hr):
+    """Matmul tail: one dense (2*th, 3W) @ (3W, 2W) column-interp matmul
+    (ucat (3W, 2W) stacked column operators, bias (1, 1) f32), then
+    row-interleaved writes of the (1, 2*th, 2W) output block."""
+    _fill_phase_blocks(pre_ref, body_ref, post_ref, k9_ref,
+                       z_ref, qe_ref, qo_ref, ye_ref,
+                       th=th, w=w, c=c, h=h, hr=hr)
     bias = bias_ref[0, 0]
     eo = mxu_dot(ye_ref[...], ucat_ref[...]) + bias
     for i in range(th):
         out_ref[0, 2 * i] = eo[i].astype(out_ref.dtype)
         out_ref[0, 2 * i + 1] = eo[th + i].astype(out_ref.dtype)
+
+
+def _head_kernel_vpu(pre_ref, body_ref, post_ref, k9_ref, bias_ref,
+                     out_ref, z_ref, qe_ref, qo_ref, ye_ref,
+                     *, th, w, c, h, hr):
+    """Banded-column VPU tail: the dense column matmul is 2-banded per
+    output phase, so evaluate it as 4 lane rolls + 12 per-lane FMAs over
+    the (2*th, W) dx blocks instead of a (2*th, 3W) @ (3W, 2W) MXU pass
+    (0.48 ms of the 0.67 ms step at the bench geometry).
+
+    Derivation (U the (W, 2W) align-corners column interp, δ = dx-1 the
+    conv's output-column shift, out[:, j] = Σ_dx (y_dx @ U)[:, j+δ]):
+
+      out[2n]   = a[n]·y1[n-1] + b[n]·y1[n] + c[n-1]·y0[n-1]
+                + d[n-1]·y0[n] + c[n]·y2[n] + d[n]·y2[n+1]
+      out[2n+1] = a[n]·y0[n-1] + b[n]·y0[n] + c[n]·y1[n]
+                + d[n]·y1[n+1] + a[n+1]·y2[n] + b[n+1]·y2[n+1]
+
+    with a[n] = n/(2W-1), b = 1-a, d[n] = (W-1-n)/(2W-1), c = 1-d.
+    Every roll-wraparound lane lands on an exactly-zero weight (a[0],
+    d[W-1], and the shifted weights zeroed at the edges), so circular
+    rolls need no masking of the data.
+
+    The even/odd lane interleave that made this tail "unexplored" in
+    round 2 is done with 32-bit VPU ops only (no strided stores): round
+    both phases to bf16, place even-phase bits in the low and odd-phase
+    bits in the high half of an int32 lane (bf16 == the top 16 bits of
+    f32), and emit an int32 (1, 2*th, W) block. The caller's
+    ``lax.bitcast_convert_type`` + minor-dim reshape reinterprets it as
+    the (2H, 2W) bf16 mask — physically the identical bytes on this
+    little-endian backend, so XLA fuses it as a free bitcast.
+    bf16-output only by construction.
+    """
+    _fill_phase_blocks(pre_ref, body_ref, post_ref, k9_ref,
+                       z_ref, qe_ref, qo_ref, ye_ref,
+                       th=th, w=w, c=c, h=h, hr=hr)
+    f32 = jnp.float32
+    y0 = ye_ref[:, :w].astype(f32)
+    y1 = ye_ref[:, w:2 * w].astype(f32)
+    y2 = ye_ref[:, 2 * w:].astype(f32)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (2 * th, w), 1)
+    n = pos.astype(f32)  # Mosaic iota must be integer-typed
+    denom = jnp.float32(2 * w - 1)
+    a_w = n / denom
+    b_w = 1.0 - a_w
+    d_w = (jnp.float32(w - 1) - n) / denom
+    c_w = 1.0 - d_w
+    first = pos == 0
+    last = pos == w - 1
+    wm = jnp.float32(w)
+    c_m1 = jnp.where(first, 0.0, 1.0 - (wm - n) / denom)   # c[n-1]
+    d_m1 = jnp.where(first, 0.0, (wm - n) / denom)         # d[n-1]
+    a_p1 = jnp.where(last, 0.0, (n + 1.0) / denom)         # a[n+1]
+    b_p1 = jnp.where(last, 0.0, 1.0 - (n + 1.0) / denom)   # b[n+1]
+
+    r1p = pltpu.roll(y1, shift=1, axis=1)        # y1[n-1]
+    r0p = pltpu.roll(y0, shift=1, axis=1)        # y0[n-1]
+    r1m = pltpu.roll(y1, shift=w - 1, axis=1)    # y1[n+1]
+    r2m = pltpu.roll(y2, shift=w - 1, axis=1)    # y2[n+1]
+
+    bias = bias_ref[0, 0]
+    oe = (a_w * r1p + b_w * y1 + c_m1 * r0p + d_m1 * y0
+          + c_w * y2 + d_w * r2m + bias)
+    oo = (a_w * r0p + b_w * y0 + c_w * y1 + d_w * r1m
+          + a_p1 * y2 + b_p1 * r2m + bias)
+
+    # lane interleave: bf16(oe) -> low half, bf16(oo) -> high half
+    pe = pltpu.bitcast(oe.astype(jnp.bfloat16).astype(f32),
+                       jnp.uint32) >> 16
+    po = pltpu.bitcast(oo.astype(jnp.bfloat16).astype(f32),
+                       jnp.uint32) & jnp.uint32(0xFFFF0000)
+    packed = pltpu.bitcast(po | pe, jnp.int32)
+    for i in range(th):
+        out_ref[0, 2 * i] = packed[i]
+        out_ref[0, 2 * i + 1] = packed[th + i]
 
 
 def _pick_tile(h: int) -> int:
@@ -187,7 +274,8 @@ def pallas_head_available(shape) -> bool:
     return h % th == 0 and th % 8 == 0 and w % 128 == 0
 
 
-def _head_call(x, kernel, bias, *, b, c, h, w, interpret):
+def _head_call(x, kernel, bias, *, b, c, h, w, interpret,
+               variant="matmul"):
     dtype = x.dtype
     th = _pick_tile(h)
     n_tiles = h // th
@@ -214,6 +302,36 @@ def _head_call(x, kernel, bias, *, b, c, h, w, interpret):
                             lambda bi, ri: (bi, ri, 0),
                             memory_space=pltpu.VMEM)
 
+    scratch = [
+        pltpu.VMEM((9 * (th + 2), w), dtype),
+        pltpu.VMEM((9 * (th + 1), w), jnp.float32),
+        pltpu.VMEM((9 * (th + 1), w), jnp.float32),
+        pltpu.VMEM((2 * th, 3 * w), dtype),
+    ]
+    if variant == "vpu":
+        assert dtype == jnp.bfloat16, (
+            "the VPU tail packs bf16 pairs into int32 lanes")
+        kern = functools.partial(_head_kernel_vpu, th=th, w=w, c=c, h=h,
+                                 hr=hr)
+        out_i32 = pl.pallas_call(
+            kern,
+            grid=(b, n_tiles),
+            in_specs=[pre, body, post,
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 2 * th, w),
+                                   lambda bi, ri: (bi, ri, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, 2 * h, w), jnp.int32),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(x, x, x, k9, bias2)
+        # reinterpret the packed lanes as bf16 pairs: physically the same
+        # bytes (little-endian), so this is a free bitcast + minor-dim
+        # merge, not a data movement pass
+        out = jax.lax.bitcast_convert_type(
+            out_i32, jnp.bfloat16).reshape(b, 2 * h, 2 * w)
+        return out[..., None]
     kern = functools.partial(_head_kernel, th=th, w=w, c=c, h=h, hr=hr)
     out = pl.pallas_call(
         kern,
@@ -224,21 +342,35 @@ def _head_call(x, kernel, bias, *, b, c, h, w, interpret):
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, 2 * h, 2 * w), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((9 * (th + 2), w), dtype),
-            pltpu.VMEM((9 * (th + 1), w), jnp.float32),
-            pltpu.VMEM((9 * (th + 1), w), jnp.float32),
-            pltpu.VMEM((2 * th, 3 * w), dtype),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x, x, x, k9, ucat, bias2)
     return out[..., None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _head_variant(shape, dtype) -> str:
+    """Kernel-tail policy, resolved in plain Python at the call boundary
+    (env-dependent choices must never be read inside jitted bodies —
+    cached traces ignore later env flips; see pallas_decode._dyfold_pick).
+
+    RSIS_HEAD_VPU=1 forces the banded VPU tail where eligible, =0 forces
+    the matmul tail; default auto follows the silicon A/B (docs/PERF.md).
+    The VPU tail is bf16-only (it packs bf16 pairs into int32 lanes)."""
+    eligible = dtype == jnp.bfloat16 and pallas_head_available(shape)
+    v = os.environ.get("RSIS_HEAD_VPU", "")
+    if v == "0" or not eligible:
+        return "matmul"
+    if v == "1":
+        return "vpu"
+    # auto: the decode-bench A/B on v5e measured the VPU tail at 175.3
+    # img/s vs 170.6 for the matmul tail (2026-08-19, scripts/
+    # perf_probe_head.py; docs/PERF.md round 4)
+    return "vpu"
+
+
 def mask_head_pallas(hs: jnp.ndarray, kernel: jnp.ndarray,
-                     bias: jnp.ndarray, interpret: bool = False
-                     ) -> jnp.ndarray:
+                     bias: jnp.ndarray, interpret: bool = False,
+                     variant: str | None = None) -> jnp.ndarray:
     """conv3x3(upsample_2x_align_corners(h)) as one fused Pallas kernel.
 
     Args:
@@ -246,24 +378,45 @@ def mask_head_pallas(hs: jnp.ndarray, kernel: jnp.ndarray,
         transposed to channel-planes-major for contiguous plane reads).
       kernel: (3, 3, C, 1) HWIO conv weight.
       bias: (1,).
+      variant: "matmul" | "vpu" kernel tail; None resolves the policy
+        (and the RSIS_HEAD_VPU override) here, outside jit.
     Returns:
       (B, 2H, 2W, 1) mask logits, dtype of hs.
     """
+    if variant is None:
+        variant = _head_variant((hs.shape[0], hs.shape[1], hs.shape[2],
+                                 hs.shape[3]), hs.dtype)
+    return _mask_head_pallas_jit(hs, kernel, bias, interpret=interpret,
+                                 variant=variant)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "variant"))
+def _mask_head_pallas_jit(hs, kernel, bias, *, interpret: bool,
+                          variant: str):
     b, h, c, w = hs.shape
     ht = jnp.moveaxis(hs, 2, 1)  # fuses into the producer; measured ~free
     return _head_call(ht, kernel, bias, b=b, c=c, h=h, w=w,
-                      interpret=interpret)
+                      interpret=interpret, variant=variant)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def mask_head_pallas_t(ht: jnp.ndarray, kernel: jnp.ndarray,
-                       bias: jnp.ndarray, interpret: bool = False
-                       ) -> jnp.ndarray:
+                       bias: jnp.ndarray, interpret: bool = False,
+                       variant: str | None = None) -> jnp.ndarray:
     """mask_head_pallas on a channel-planes-major (B, C, H, W) input
     (contiguous plane reads; the caller pays the transpose)."""
     b, c, h, w = ht.shape
+    if variant is None:
+        variant = _head_variant((b, h, c, w), ht.dtype)
+    return _mask_head_pallas_t_jit(ht, kernel, bias, interpret=interpret,
+                                   variant=variant)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "variant"))
+def _mask_head_pallas_t_jit(ht, kernel, bias, *, interpret: bool,
+                            variant: str):
+    b, c, h, w = ht.shape
     return _head_call(ht, kernel, bias, b=b, c=c, h=h, w=w,
-                      interpret=interpret)
+                      interpret=interpret, variant=variant)
 
 
 def make_mask_head_vjp(interpret: bool = False):

@@ -229,6 +229,33 @@ def check_dyfold() -> bool:
     return ok
 
 
+def check_head_tails() -> bool:
+    """Banded VPU mask-head tail vs the matmul tail at the bench head
+    geometry, bf16 (the tail is bf16-only by construction). The lane
+    rolls + the bf16-pair int32 interleave/bitcast are exactly what
+    interpret mode cannot exercise; round 4 made this tail the default
+    (RSIS_HEAD_VPU, ops/pallas_mask_head._head_variant)."""
+    from rsis_tpu.ops.pallas_mask_head import mask_head_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    b, h, c, w = 2, 256, 8, 512
+    if os.environ.get("SMOKE_CPU", "") == "1":
+        b, h, c, w = 2, 64, 8, 128
+    ks = jax.random.split(jax.random.PRNGKey(17), 3)
+    hs = jax.random.normal(ks[0], (b, h, c, w),
+                           jnp.float32).astype(jnp.bfloat16)
+    k = jax.random.normal(ks[1], (3, 3, c, 1), jnp.float32) * 0.3
+    bias = jax.random.normal(ks[2], (1,), jnp.float32)
+    t0 = time.time()
+    vpu = mask_head_pallas(hs, k, bias, interpret=interpret, variant="vpu")
+    mat = mask_head_pallas(hs, k, bias, interpret=interpret,
+                           variant="matmul")
+    ok = _report("head vpu-vs-matmul [bf16]", vpu, mat, 2e-2)
+    print(f"  (mask-head tails, {time.time() - t0:.1f}s incl. compile)",
+          flush=True)
+    return ok
+
+
 def check_dwt() -> bool:
     """One-pass Pallas weight-grad kernel vs the shifted-einsum oracle —
     EVERY decoder cell geometry of the train recipe, BOTH dtypes (the
@@ -282,6 +309,8 @@ def main() -> int:
     print("dwt kernel: one-pass Pallas weight grad vs einsum oracle",
           flush=True)
     ok &= check_dwt()
+    print("mask-head tails: banded VPU vs column matmul", flush=True)
+    ok &= check_head_tails()
     print("SMOKE " + ("PASS" if ok else "FAIL"), flush=True)
     return 0 if ok else 1
 

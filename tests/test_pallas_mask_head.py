@@ -105,3 +105,70 @@ class TestPallasMaskHead:
         assert not pallas_head_available((1, 10, 8, 512))   # th=10 odd tile
         assert not pallas_head_available((1, 256, 8, 100))  # partial lanes
         assert _pick_tile(256) == 64
+
+
+class TestVpuTail:
+    """The banded VPU tail (lane rolls + bf16-pair int32 interleave) must
+    match both the matmul tail and the dense f32 reference. bf16-only by
+    construction (it packs bf16 pairs into int32 lanes)."""
+
+    @pytest.mark.parametrize("shape", [
+        (2, 8, 8, 16),    # single tile
+        (1, 64, 8, 16),   # one 64-row tile
+        (2, 48, 4, 8),    # three 16-row tiles (halo + edge masks)
+        (1, 96, 8, 16),   # multi-tile at th=32
+        (1, 128, 8, 256), # train head geometry, lane-multi-tile rolls
+    ])
+    def test_matches_matmul_and_fused(self, shape):
+        hs, k, bias = _case(*shape)
+        hs = hs.astype(jnp.bfloat16)
+        vpu = np.asarray(
+            mask_head_pallas(hs, k, bias, interpret=True, variant="vpu"),
+            np.float32)
+        mat = np.asarray(
+            mask_head_pallas(hs, k, bias, interpret=True,
+                             variant="matmul"), np.float32)
+        want = np.asarray(
+            mask_head_fused(jnp.moveaxis(hs, 2, -1).astype(jnp.float32),
+                            k, bias), np.float32)
+        # both tails quantize the same f32 values to bf16; they may
+        # differ by accumulation order -> ~2 bf16 ulp relative, and near
+        # cancellation the abs error is an ulp of the large SUMMANDS,
+        # so the atol scales with the output magnitude
+        tol = 2 * 2**-8
+        np.testing.assert_allclose(vpu, mat, rtol=tol,
+                                   atol=tol * np.max(np.abs(mat)))
+        scale = np.max(np.abs(want))
+        assert np.max(np.abs(vpu - want)) < 0.02 * scale + 0.05
+
+    def test_vpu_output_dtype_and_interleave(self):
+        # the int32 pack + bitcast must land even columns from the even
+        # phase: a column-index ramp input survives exactly
+        b, h, c, w = 1, 8, 1, 8
+        hs = jnp.broadcast_to(
+            jnp.arange(w, dtype=jnp.float32), (b, h, c, w)
+        ).astype(jnp.bfloat16)
+        k = jnp.zeros((3, 3, c, 1), jnp.float32).at[1, 1, 0, 0].set(1.0)
+        bias = jnp.zeros((1,), jnp.float32)
+        vpu = mask_head_pallas(hs, k, bias, interpret=True, variant="vpu")
+        mat = mask_head_pallas(hs, k, bias, interpret=True,
+                               variant="matmul")
+        assert vpu.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(vpu, np.float32),
+                                   np.asarray(mat, np.float32),
+                                   rtol=2 * 2**-8, atol=0.02)
+
+    def test_variant_policy(self, monkeypatch):
+        from rsis_tpu.ops.pallas_mask_head import _head_variant
+
+        bench = (32, 256, 8, 512)
+        monkeypatch.delenv("RSIS_HEAD_VPU", raising=False)
+        assert _head_variant(bench, jnp.float32) == "matmul"  # bf16-only
+        assert _head_variant((1, 10, 8, 512), jnp.bfloat16) == "matmul"
+        auto = _head_variant(bench, jnp.bfloat16)
+        monkeypatch.setenv("RSIS_HEAD_VPU", "1")
+        assert _head_variant(bench, jnp.bfloat16) == "vpu"
+        assert _head_variant(bench, jnp.float32) == "matmul"  # ineligible
+        monkeypatch.setenv("RSIS_HEAD_VPU", "0")
+        assert _head_variant(bench, jnp.bfloat16) == "matmul"
+        assert auto in ("vpu", "matmul")  # measured default, either tail

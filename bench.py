@@ -235,8 +235,9 @@ def main():
     # jitted step via make_train_step, so flipping them here takes effect.
     kill_switch_sets = (
         {},                                           # shipped defaults
-        {"RSIS_DYFOLD": "0", "RSIS_PALLAS_DWT": "0"},  # round-3 kernels off
         {"RSIS_DYFOLD": "0", "RSIS_PALLAS_DWT": "0",
+         "RSIS_HEAD_VPU": "0"},         # experimental kernel variants off
+        {"RSIS_DYFOLD": "0", "RSIS_PALLAS_DWT": "0", "RSIS_HEAD_VPU": "0",
          "RSIS_TRAIN_ROWMAJOR": "0"},                 # XLA training path
     )
     for T, margin_s in ((5, 600.0), (20, 700.0)):

@@ -354,7 +354,7 @@ def _head_variant(shape, dtype) -> str:
     cached traces ignore later env flips; see pallas_decode._dyfold_pick).
 
     RSIS_HEAD_VPU=1 forces the banded VPU tail where eligible, =0 forces
-    the matmul tail; default auto follows the silicon A/B (docs/PERF.md).
+    the matmul tail; default auto follows the silicon A/Bs (docs/PERF.md).
     The VPU tail is bf16-only (it packs bf16 pairs into int32 lanes)."""
     eligible = dtype == jnp.bfloat16 and pallas_head_available(shape)
     v = os.environ.get("RSIS_HEAD_VPU", "")
@@ -362,10 +362,13 @@ def _head_variant(shape, dtype) -> str:
         return "matmul"
     if v == "1":
         return "vpu"
-    # auto: the decode-bench A/B on v5e measured the VPU tail at 175.3
-    # img/s vs 170.6 for the matmul tail (2026-08-19, scripts/
-    # perf_probe_head.py; docs/PERF.md round 4)
-    return "vpu"
+    # auto, by measured step-level A/Bs on v5e (2026-08-19, docs/PERF.md
+    # round 4): the VPU tail wins the decode bench at head width 512
+    # (175.3 vs 170.6 img/s, scripts/perf_probe_head.py) but LOSES the
+    # train step at head width 256 (254.2 vs 262.7 ms at T=20,
+    # scripts/perf_probe_head_train.py) — the rolls+FMA chain beats the
+    # dense column matmul only once the lane dim is wide enough.
+    return "vpu" if shape[3] >= 512 else "matmul"
 
 
 def mask_head_pallas(hs: jnp.ndarray, kernel: jnp.ndarray,

@@ -161,14 +161,17 @@ class TestVpuTail:
     def test_variant_policy(self, monkeypatch):
         from rsis_tpu.ops.pallas_mask_head import _head_variant
 
-        bench = (32, 256, 8, 512)
+        bench = (32, 256, 8, 512)   # decode-bench head geometry
+        train = (32, 128, 8, 256)   # train-step head geometry
         monkeypatch.delenv("RSIS_HEAD_VPU", raising=False)
         assert _head_variant(bench, jnp.float32) == "matmul"  # bf16-only
         assert _head_variant((1, 10, 8, 512), jnp.bfloat16) == "matmul"
-        auto = _head_variant(bench, jnp.bfloat16)
+        # auto follows the measured per-geometry winners (docs/PERF.md r4)
+        assert _head_variant(bench, jnp.bfloat16) == "vpu"
+        assert _head_variant(train, jnp.bfloat16) == "matmul"
         monkeypatch.setenv("RSIS_HEAD_VPU", "1")
         assert _head_variant(bench, jnp.bfloat16) == "vpu"
+        assert _head_variant(train, jnp.bfloat16) == "vpu"    # forced
         assert _head_variant(bench, jnp.float32) == "matmul"  # ineligible
         monkeypatch.setenv("RSIS_HEAD_VPU", "0")
         assert _head_variant(bench, jnp.bfloat16) == "matmul"
-        assert auto in ("vpu", "matmul")  # measured default, either tail

@@ -1,11 +1,12 @@
 #!/bin/bash
-# Run the test suite one pytest process per test file.
+# CONVENIENCE runner: the test suite one pytest process per test file.
 #
-# Why: very long single-process runs have (rarely) segfaulted inside
-# XLA:CPU's JIT after hundreds of accumulated compilations — an
-# environment-level flake, not a test failure (the same test passes in
-# isolation). Per-file processes bound the blast radius, identify the
-# crashing file exactly, and let a rerun resume from the failures only.
+# The plain single-process `python -m pytest tests/ -q` is the canonical
+# run and is green (231 tests, round 4) — the XLA:CPU JIT-accumulation
+# segfault this script was built around is mitigated by the
+# module-boundary `jax.clear_caches()` fixture in tests/conftest.py.
+# Keep this only for isolating a crashing file if the flake ever
+# resurfaces, or for resuming from failures on slow boxes.
 #
 # Usage: scripts/run_suite_sharded.sh [outdir]   (default /tmp/suite_shards)
 set -u

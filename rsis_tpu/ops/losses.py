@@ -35,6 +35,38 @@ def soft_iou_cost(target: jnp.ndarray, logits: jnp.ndarray,
     return 1.0 - num / den
 
 
+def soft_iou_cost_matmul(y_sum: jnp.ndarray, y_cost: jnp.ndarray,
+                         logits: jnp.ndarray,
+                         eps: float = _EPS) -> jnp.ndarray:
+    """soft_iou_cost against ALL GT masks as one batched MXU matvec.
+
+    Algebra: with I = Σ out·y and S = Σ y (constant per GT instance),
+    the union Σ(out + y - out·y) = Σout + S - I, so the whole (B, N)
+    cost column needs one contraction over HW plus one small reduce —
+    instead of the elementwise broadcast-multiply-reduce over the full
+    (B, N, HW) tensor that soft_iou_cost runs per decode step (measured
+    29 ms of the T=20 b32 train step, the convert_reduce fusions in
+    docs/PERF.md's round-4 trace anatomy). The contraction rides the
+    MXU and reads each operand once.
+
+    Args:
+      y_sum: (B, N) f32 per-instance pixel counts, precomputed ONCE
+        outside the decode scan (they don't change across steps).
+      y_cost: (B, N, HW) GT masks pre-cast to the contraction dtype
+        (binary values — exact in bf16).
+      logits: (B, HW) predicted mask logits for one decode step.
+    Returns:
+      (B, N) cost in [0, 1]; matches soft_iou_cost up to the sigmoid's
+      rounding into the contraction dtype (matching-only tolerance —
+      the cost tensor sits behind stop_gradient).
+    """
+    out = jnn.sigmoid(logits.astype(jnp.float32))
+    inter = jnp.einsum("bh,bnh->bn", out.astype(y_cost.dtype), y_cost,
+                       preferred_element_type=jnp.float32)
+    den = jnp.sum(out, axis=-1)[:, None] + y_sum - inter + eps
+    return 1.0 - inter / den
+
+
 def masked_nll(target_idx: jnp.ndarray, probs: jnp.ndarray,
                balance_weights: jnp.ndarray | None = None,
                eps: float = 1e-12) -> jnp.ndarray:

@@ -25,6 +25,7 @@ replicated; XLA inserts the gradient psum over ICI.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.struct
@@ -36,7 +37,8 @@ from ..config import Config
 from ..models.decoder import init_carry
 from ..models.rsis import build_models, compute_dtype
 from ..ops.losses import (
-    masked_bce_loss, masked_nll_loss, soft_iou_cost, soft_iou_loss)
+    masked_bce_loss, masked_nll_loss, soft_iou_cost, soft_iou_cost_matmul,
+    soft_iou_loss)
 from ..ops.matching import hungarian, hungarian_pallas
 from ..ops.upsample import upsample_bilinear_align_corners
 from ..parallel.mesh import batch_sharding, replicated
@@ -102,6 +104,23 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
     needs_rng = train and (decoder.dropout > 0 or decoder.dropout_stop > 0
                            or decoder.dropout_cls > 0)
 
+    # per-step Hungarian cost columns: the matmul form contracts against
+    # the GT masks on the MXU with the per-instance pixel counts hoisted
+    # out of the scan (ops/losses.soft_iou_cost_matmul). RSIS_COST_MATMUL
+    # is read here, at step-build/trace time — bench.py's kill-switch
+    # retries rebuild the step, so flips take effect (same contract as
+    # RSIS_DYFOLD; never read env inside a cached jit).
+    if os.environ.get("RSIS_COST_MATMUL", "1") != "0":
+        y_cost = y_mask.astype(dtype)
+        y_sum = jnp.sum(y_mask, axis=-1, dtype=jnp.float32)
+
+        def cost_fn(mask_flat):
+            return soft_iou_cost_matmul(y_sum, y_cost, mask_flat)
+    else:
+        def cost_fn(mask_flat):
+            # cost of this prediction against every GT instance: (B, N)
+            return soft_iou_cost(y_mask, mask_flat[:, None, :])
+
     # the hoisted fast decode (skip-conv terms computed once before the
     # scan, fused mask head) is exact math and fully differentiable, so it
     # also serves the training step whenever no dropout rng is needed and
@@ -145,7 +164,7 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
             # stacked in compute dtype: f32-upcasting here doubled the
             # scan-output DUS traffic (11 ms/step at T=20 b32) for
             # bf16-precision data; the losses upcast inside the reduce
-            cost_col = soft_iou_cost(y_mask, mask_flat[:, None, :])
+            cost_col = cost_fn(mask_flat)
             return new_carry, (mask_flat, cls.astype(jnp.float32),
                                stop[:, 0].astype(jnp.float32), cost_col)
     elif use_fast:
@@ -161,7 +180,7 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
             # stacked in compute dtype: f32-upcasting here doubled the
             # scan-output DUS traffic (11 ms/step at T=20 b32) for
             # bf16-precision data; the losses upcast inside the reduce
-            cost_col = soft_iou_cost(y_mask, mask_flat[:, None, :])
+            cost_col = cost_fn(mask_flat)
             return new_carry, (mask_flat, cls.astype(jnp.float32),
                                stop[:, 0].astype(jnp.float32), cost_col)
     else:
@@ -177,7 +196,7 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
             # scan-output DUS traffic (11 ms/step at T=20 b32) for
             # bf16-precision data; the losses upcast inside the reduce
             # cost of this prediction against every GT instance: (B, N)
-            cost_col = soft_iou_cost(y_mask, mask_flat[:, None, :])
+            cost_col = cost_fn(mask_flat)
             return new_carry, (mask_flat, cls.astype(jnp.float32),
                                stop[:, 0].astype(jnp.float32), cost_col)
 

@@ -65,7 +65,14 @@ def find_trace_files(logdir: str) -> list[str]:
 
 
 def load_trace_events(logdir_or_file: str) -> list[dict]:
-    """Complete ('X'-phase) events from a trace file or profiler logdir."""
+    """Complete ('X'-phase) events plus thread/process metadata ('M')
+    from a trace file or profiler logdir.
+
+    The 'M' metadata rows MUST survive loading: ``self_times``' lane
+    filter resolves lane names ("XLA Ops") to (pid, tid) through them,
+    and without them it silently falls back to every thread — host
+    lanes included — which is exactly the mixed-lane table this
+    function once produced by dropping them."""
     if os.path.isdir(logdir_or_file):
         files = find_trace_files(logdir_or_file)
         if not files:
@@ -78,7 +85,8 @@ def load_trace_events(logdir_or_file: str) -> list[dict]:
     with opener(path, "rt") as fp:
         doc = json.load(fp)
     events = doc["traceEvents"] if isinstance(doc, dict) else doc
-    return [e for e in events if e.get("ph") == "X" and "dur" in e]
+    return [e for e in events
+            if (e.get("ph") == "X" and "dur" in e) or e.get("ph") == "M"]
 
 
 def _lane_tids(events: Iterable[dict], lane: str) -> dict:

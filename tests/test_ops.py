@@ -53,6 +53,26 @@ class TestSoftIoU:
         want = (1 - num / den).squeeze().numpy()
         np.testing.assert_allclose(ours, want, atol=2e-4)
 
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_matmul_form_matches_elementwise(self, dtype):
+        # soft_iou_cost_matmul (the in-scan MXU contraction with hoisted
+        # GT pixel counts) vs the broadcast-reduce form over uint8 GT
+        from rsis_tpu.ops.losses import soft_iou_cost_matmul
+
+        rng = np.random.default_rng(7)
+        b, n, hw = 3, 6, 512
+        y = (rng.random((b, n, hw)) > 0.7).astype(np.uint8)
+        y[:, -1] = 0  # an empty (padded) GT instance row
+        logits = rng.normal(size=(b, hw)).astype(np.float32) * 3
+        yj = jnp.asarray(y)
+        lj = jnp.asarray(logits)
+        want = np.asarray(soft_iou_cost(yj, lj[:, None, :]), np.float32)
+        got = np.asarray(soft_iou_cost_matmul(
+            jnp.sum(yj, axis=-1, dtype=jnp.float32), yj.astype(dtype), lj),
+            np.float32)
+        tol = 1e-5 if dtype == jnp.float32 else 6e-3  # sigmoid bf16 ulp
+        np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
 
 class TestNLL:
     def test_oracle(self):

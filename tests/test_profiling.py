@@ -76,12 +76,33 @@ class TestOpTable:
 
     def test_load_gz_roundtrip(self, tmp_path):
         doc = {"traceEvents": [_evt("op", 0, 5),
-                               {"ph": "M", "name": "process_name"}]}
+                               {"ph": "M", "name": "process_name"},
+                               {"ph": "C", "name": "counter", "ts": 0}]}
         p = tmp_path / "x.trace.json.gz"
         with gzip.open(p, "wt") as fp:
             json.dump(doc, fp)
         evs = load_trace_events(str(p))
-        assert len(evs) == 1 and evs[0]["name"] == "op"
+        # complete events AND metadata survive (lane filtering needs the
+        # 'M' rows); counters and other phases are dropped
+        assert [e["ph"] for e in evs] == ["X", "M"]
+        assert evs[0]["name"] == "op"
+
+    def test_loaded_events_keep_lane_filter_working(self, tmp_path):
+        # the documented flow — op_table(load_trace_events(dir), lane=...)
+        # — must honor the lane: dropping 'M' rows at load silently
+        # disabled the filter and mixed host lanes into the table
+        doc = {"traceEvents": [
+            {"ph": "M", "name": "thread_name", "pid": 1, "tid": 3,
+             "args": {"name": "XLA Ops"}},
+            {"ph": "M", "name": "thread_name", "pid": 1, "tid": 9,
+             "args": {"name": "python"}},
+            _evt("device_op", 0, 10, tid=3),
+            _evt("host_noise", 0, 999, tid=9),
+        ]}
+        p = tmp_path / "t.trace.json"
+        p.write_text(json.dumps(doc))
+        rows = op_table(load_trace_events(str(p)), lane="XLA Ops")
+        assert rows == [("device_op", 0.01)]
 
 
 class TestLiveTrace:

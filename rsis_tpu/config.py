@@ -153,6 +153,12 @@ class Config:
     # use_gt_masks/use_gt_stop defaults, but nothing in the reference (or
     # here) ever reads them — dropped rather than carried as silent no-ops.
 
+    # generic prediction CLI (cli/predict.py — beyond the reference's
+    # dataset-bound eval scripts): arbitrary images in, instance masks out
+    predict_input: str = ""      # image file, directory, or glob
+    predict_output: str = ""     # output dir (default <model>/predictions)
+    predict_format: str = "both"  # png | coco | both
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
@@ -331,6 +337,10 @@ def get_parser() -> argparse.ArgumentParser:
          default=d.no_run_coco_eval)
     flag("--display_route", dest="display_route", action="store_true",
          default=d.display_route)
+    flag("-predict_input", dest="predict_input", default=d.predict_input)
+    flag("-predict_output", dest="predict_output", default=d.predict_output)
+    flag("-predict_format", dest="predict_format",
+         choices=["png", "coco", "both"], default=d.predict_format)
     return p
 
 

@@ -28,6 +28,13 @@ trained with: square imsize x imsize when the saved config has
 ``resize`` set (pascal/CVPPP recipes), imsize x 2*imsize otherwise (the
 cityscapes aspect). Outputs are resized back to each image's native
 size.
+
+Deliberate divergence from the evaluator: the class label here is
+``argmax over foreground classes only`` (index 0 = <eos> is excluded),
+so every kept instance gets a usable label — the reference/evaluator
+convention (np.argmax over ALL classes, reference: src/eval.py:272) can
+label an instance <eos>, which the dataset-bound eval path then handles
+via class_th/max_class machinery this generic CLI doesn't have.
 """
 
 from __future__ import annotations
@@ -69,7 +76,9 @@ def predict_images(cfg: Config, variables, paths: list[str],
                    class_names: list[str] | None = None) -> list[dict]:
     """Run the shared forward over image files; returns per-image dicts
     {path, height, width, instances: [{t, class_id, class_name, score,
-    rle, bbox, mask_native (H, W) uint8}]}."""
+    rle, bbox}]}. Masks travel as RLE only — native-size uint8 masks
+    are decoded on demand in write_outputs so a large input directory
+    doesn't accumulate gigabytes of host memory."""
     from PIL import Image
 
     h, w = _network_hw(cfg)
@@ -98,21 +107,20 @@ def predict_images(cfg: Config, variables, paths: list[str],
             nh, nw = native[s]
             instances = []
             for t in range(masks.shape[1]):
-                if float(stops[s, t]) < cfg.stop_th:
+                if float(stops[s, t, 0]) < cfg.stop_th:
                     continue
                 rle, is_valid, _ = resize_mask(
                     cfg, masks[s, t].reshape(h, w), nh, nw)
                 if not is_valid:
                     continue
                 class_id = int(np.argmax(clss[s, t, 1:])) + 1  # skip <eos>
-                score = float(clss[s, t, class_id]) * float(stops[s, t])
+                score = float(clss[s, t, class_id]) * float(stops[s, t, 0])
                 instances.append({
                     "t": t, "class_id": class_id,
                     "class_name": (class_names[class_id]
                                    if class_names else str(class_id)),
                     "score": score, "rle": rle,
-                    "bbox": [float(v) for v in maskUtils.toBbox(rle)],
-                    "mask_native": maskUtils.decode(rle)})
+                    "bbox": [float(v) for v in maskUtils.toBbox(rle)]})
             results.append({"path": p, "height": nh, "width": nw,
                             "instances": instances})
     return results
@@ -130,7 +138,7 @@ def write_outputs(cfg: Config, results: list[dict], out_dir: str) -> dict:
         if cfg.predict_format in ("png", "both"):
             label = np.zeros((res["height"], res["width"]), np.uint8)
             for k, inst in enumerate(res["instances"], start=1):
-                label[inst["mask_native"] > 0] = k
+                label[maskUtils.decode(inst["rle"]) > 0] = k
             out_png = os.path.join(out_dir, f"{stem}_instances.png")
             Image.fromarray(label, mode="L").save(out_png)
             written["png"].append(out_png)

@@ -26,8 +26,8 @@ from bench import train_step_bench  # noqa: E402
 # policy -> which train-geometry cells run the Pallas dwt kernel
 SETTINGS = (
     ("0", "einsum everywhere"),
-    ("8", "cell4 only (ch=8, W=256)"),
-    ("8,16", "cells 3+4 (== auto at this geometry)"),
+    ("8", "cell4 only (ch=8, W=256) (== auto at this geometry)"),
+    ("8,16", "cells 3+4"),
 )
 
 

@@ -131,8 +131,11 @@ class Config:
     leaves_test_dir: str = "/data/CVPPP2014_LSC_testing_data/A1/"
     num_workers: int = 4
     # synthetic-dataset size (benchmark/integration runs need more
-    # than the 16-sample test default)
+    # than the 16-sample test default); max_instances bounds the blob
+    # count per image — raise it so curriculum T-growth past the default
+    # 4 instances changes the attainable loss (the silicon soak runs)
     synthetic_length: int = 16
+    synthetic_max_instances: int = 4
     models_root: str = "../models"
 
     # testing / evaluation
@@ -316,6 +319,8 @@ def get_parser() -> argparse.ArgumentParser:
     flag("-num_workers", dest="num_workers", type=int, default=d.num_workers)
     flag("-synthetic_length", dest="synthetic_length", type=int,
          default=d.synthetic_length)
+    flag("-synthetic_max_instances", dest="synthetic_max_instances",
+         type=int, default=d.synthetic_max_instances)
     flag("-models_root", dest="models_root", default=d.models_root)
 
     # testing

@@ -157,10 +157,16 @@ class SyntheticBlobs(InstanceDataset):
         self._sample_rng = np.random.default_rng(seed + hash(split) % 1000)
         self._cache = {}
 
+    # per-split seed offsets so val/test content differs from train
+    # (a shared 10_000+index seed made val a verbatim copy of train,
+    # which turns the val curve into a train-loss echo)
+    _SPLIT_SEED = {"train": 0, "val": 50_000, "test": 100_000}
+
     def get_raw_sample(self, index):
         if index in self._cache:
             return self._cache[index]
-        rng = np.random.default_rng(10_000 + index)
+        rng = np.random.default_rng(
+            10_000 + index + self._SPLIT_SEED.get(self.split, 0))
         s = self.imsize
         img = rng.integers(0, 255, (s, s, 3), dtype=np.uint8)
         ins = np.zeros((s, s), dtype=np.int64)
@@ -198,6 +204,7 @@ def get_dataset(cfg, split: str, augment: bool = False,
     kwargs = {}
     if cls is SyntheticBlobs:
         kwargs["length"] = getattr(cfg, "synthetic_length", 16)
+        kwargs["max_instances"] = getattr(cfg, "synthetic_max_instances", 4)
     ds = cls(cfg, split=split, augment=augment,
              imsize=imsize or cfg.imsize, resize=cfg.resize, seed=cfg.seed,
              **kwargs)

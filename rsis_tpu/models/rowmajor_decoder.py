@@ -25,6 +25,7 @@ Inference-only: training keeps the flax path for autodiff.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Sequence
 
@@ -115,6 +116,70 @@ def _upsample_rowmajor(x: jnp.ndarray, out_h: int, out_w: int,
     return x
 
 
+@functools.lru_cache(maxsize=64)
+def _make_gmax_sparse(hh: int, w: int, dtype_name: str):
+    """Global max-pool over (H, W) of a row-major (B, H, C, W) tensor with
+    SPARSE backward residuals: saves two (B, C) int32 argmax index maps
+    instead of the full activation.
+
+    Why: ``jnp.max``'s vjp keeps its (B, H, C, W) input alive for the
+    backward — inside the decode scan that stacked every cell's hidden
+    state a second time (it is already stored as the next step's carry
+    residual), ~0.66 GB of the T=20 b32 save set
+    (scripts/analyze_residuals.py). The backward rebuilds the gradient
+    mask from iota-vs-index compares — no saved activation.
+
+    Deviation from jnp.max's vjp under TIES: the cotangent routes to the
+    first argmax position instead of splitting equally across tied
+    maxima. Ties are measure-zero for continuous activations; the
+    expected gradient is unchanged."""
+    dtype = jnp.dtype(dtype_name)
+
+    @jax.custom_vjp
+    def gmax(h):
+        return jnp.max(h, axis=(1, 3))
+
+    def fwd(h):
+        mw = jnp.max(h, axis=3)                     # (B, H, C)
+        iw = jnp.argmax(h, axis=3)                  # (B, H, C)
+        ih = jnp.argmax(mw, axis=1)                 # (B, C)
+        feats = jnp.max(mw, axis=1)                 # (B, C)
+        iw_sel = jnp.take_along_axis(
+            iw, ih[:, None, :], axis=1)[:, 0]       # (B, C)
+        return feats, (ih.astype(jnp.int32), iw_sel.astype(jnp.int32))
+
+    def bwd(res, dfeat):
+        ih, iw = res
+        row = lax.broadcasted_iota(
+            jnp.int32, (1, hh, 1, 1), 1) == ih[:, None, :, None]
+        col = lax.broadcasted_iota(
+            jnp.int32, (1, 1, 1, w), 3) == iw[:, None, :, None]
+        dh = jnp.where(row & col, dfeat[:, None, :, None].astype(dtype),
+                       jnp.zeros((), dtype))
+        return (dh,)
+
+    gmax.defvjp(fwd, bwd)
+    return gmax
+
+
+def gmax_sparse(h: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, C, W) -> (B, C) max over (H, W), sparse-residual backward."""
+    return _make_gmax_sparse(h.shape[1], h.shape[3], h.dtype.name)(h)
+
+
+def save_small_selected() -> bool:
+    """Trace-time policy for the save-small training residuals (the
+    upsample-fused cell vjp + sparse gmax). Default OFF: it halves the
+    scan-stacked residual bytes (3609 -> 1952 MB at T=20 b32) but
+    measured a 1.3% step REGRESSION on v5e (253.3 -> 256.7 ms — the DUS
+    stacking it removes was already overlapped, and the backward replay
+    + argmax forward are real work; docs/PERF.md round 5). Opt in with
+    RSIS_SAVE_SMALL=1 as a memory lever at geometries where the save
+    set pressures HBM before remat must turn on. Resolved at step-build
+    time like RSIS_DYFOLD (never inside a cached jit)."""
+    return os.environ.get("RSIS_SAVE_SMALL", "0") == "1"
+
+
 def rowmajor_decoder_step(dec_params: dict, cells, carry,
                           interpret: bool = False,
                           differentiable: bool = False, mesh=None):
@@ -137,28 +202,45 @@ def rowmajor_decoder_step(dec_params: dict, cells, carry,
     new_carry = []
     h = None
     sharded = mesh is not None and mesh.devices.size > 1
+    save_small = differentiable and save_small_selected()
     for i in range(n):
         h_prev, c_prev = carry[i]
-        x_pad = None
-        if i > 0:
-            # upsample with the halo pad fused into the interp matrices
-            x_pad = _upsample_rowmajor(h, h_prev.shape[1], h_prev.shape[3],
-                                       pad=True)
-        if differentiable:
-            from ..ops.pallas_decode_vjp import make_fused_cell_vjp
-            cell_fn = make_fused_cell_vjp(cells[i]["cx"], cells[i]["ch"],
-                                          interpret=interpret)
+        if save_small and i > 0:
+            # save-small path: the upsample lives INSIDE the cell vjp, so
+            # the scan saves the small h instead of the 4x-bigger x_pad
+            from ..ops.pallas_decode_vjp import make_fused_cell_up_vjp
+            cell_fn = make_fused_cell_up_vjp(cells[i]["cx"],
+                                             cells[i]["ch"],
+                                             interpret=interpret)
+            if sharded:
+                cell_fn = shard_cell_fn(cell_fn, mesh)
+            h, c = cell_fn(h, h_prev, c_prev, cells[i]["s"],
+                           cells[i]["wt"])
         else:
-            cx_i, ch_i = cells[i]["cx"], cells[i]["ch"]
+            x_pad = None
+            if i > 0:
+                # upsample with the halo pad fused into the interp
+                # matrices
+                x_pad = _upsample_rowmajor(h, h_prev.shape[1],
+                                           h_prev.shape[3], pad=True)
+            if differentiable:
+                from ..ops.pallas_decode_vjp import make_fused_cell_vjp
+                cell_fn = make_fused_cell_vjp(cells[i]["cx"],
+                                              cells[i]["ch"],
+                                              interpret=interpret)
+            else:
+                cx_i, ch_i = cells[i]["cx"], cells[i]["ch"]
 
-            def cell_fn(hp, xp, cp, s, w_, _cx=cx_i, _ch=ch_i):
-                return fused_cell_rowmajor(hp, xp, cp, s, w_, cx=_cx,
-                                           ch=_ch, interpret=interpret)
-        if sharded:
-            cell_fn = shard_cell_fn(cell_fn, mesh)
-        h, c = cell_fn(h_prev, x_pad, c_prev, cells[i]["s"], cells[i]["wt"])
+                def cell_fn(hp, xp, cp, s, w_, _cx=cx_i, _ch=ch_i):
+                    return fused_cell_rowmajor(hp, xp, cp, s, w_, cx=_cx,
+                                               ch=_ch, interpret=interpret)
+            if sharded:
+                cell_fn = shard_cell_fn(cell_fn, mesh)
+            h, c = cell_fn(h_prev, x_pad, c_prev, cells[i]["s"],
+                           cells[i]["wt"])
         new_carry.append((h, c))
-        side_feats.append(jnp.max(h, axis=(1, 3)))
+        side_feats.append(gmax_sparse(h) if save_small
+                          else jnp.max(h, axis=(1, 3)))
 
     feats = jnp.concatenate(side_feats, axis=-1)
     fc_c = dec_params["fc_class"]

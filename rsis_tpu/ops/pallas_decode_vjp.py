@@ -384,6 +384,37 @@ def _dwt_kernel_enabled(ch: int, w: int) -> bool:
     return str(ch) in v.split(",")
 
 
+def _cell_bwd_core(h_prev, x_pad, c_prev, s_term, wt, dh, dc, *,
+                   cx: int, ch: int, interpret: bool):
+    """Shared backward body of the fused-cell VJPs.
+
+    Returns (dg, dc_prev, dwt, dx, dh_prev) with dx the UNPADDED up-input
+    cotangent (B, H, Cx, W), or None when cx == 0. Ring entries of x_pad
+    do reach edge gates, but their cotangent is dropped (zero ring):
+    every producer of x_pad in this codebase writes a structurally-zero
+    ring (the pad-fused upsample matrices), whose own transpose kills
+    those grads anyway — the composed gradient is exact."""
+    dg, dc_prev = _cell_backward_dgates(
+        h_prev, x_pad, c_prev, s_term, wt, dh, dc, cx=cx, ch=ch,
+        interpret=interpret)
+    if _dwt_kernel_enabled(ch, h_prev.shape[-1]):
+        dwt = weight_grad_rowmajor(
+            h_prev, x_pad if cx else None, dg, cx=cx, ch=ch,
+            interpret=interpret).astype(dg.dtype)
+    else:
+        dwt = _weight_grad(h_prev, x_pad, dg, cx, ch)
+    if cx:
+        # one fused conv for both pullbacks (see take="xh" above)
+        dxh = _conv_transpose_rowmajor(dg, wt, cx, ch, take="xh",
+                                       interpret=interpret)
+        dx, dh_prev = dxh[:, :, :cx], dxh[:, :, cx:]
+    else:
+        dx = None
+        dh_prev = _conv_transpose_rowmajor(dg, wt, cx, ch, take="h",
+                                           interpret=interpret)
+    return dg, dc_prev, dwt, dx, dh_prev
+
+
 @functools.lru_cache(maxsize=32)
 def make_fused_cell_vjp(cx: int, ch: int, interpret: bool = False):
     """Returns a differentiable fused cell fn(h_prev, x_pad, c_prev, s, wt)
@@ -402,32 +433,101 @@ def make_fused_cell_vjp(cx: int, ch: int, interpret: bool = False):
     def bwd(res, cts):
         h_prev, x_pad, c_prev, s_term, wt = res
         dh, dc = cts
-        dg, dc_prev = _cell_backward_dgates(
+        dg, dc_prev, dwt, dx, dh_prev = _cell_bwd_core(
             h_prev, x_pad, c_prev, s_term, wt, dh, dc, cx=cx, ch=ch,
             interpret=interpret)
-        ds = dg
-        if _dwt_kernel_enabled(ch, h_prev.shape[-1]):
-            dwt = weight_grad_rowmajor(
-                h_prev, x_pad if cx else None, dg, cx=cx, ch=ch,
-                interpret=interpret).astype(dg.dtype)
-        else:
-            dwt = _weight_grad(h_prev, x_pad, dg, cx, ch)
         if cx:
-            # one fused conv for both pullbacks (see take="xh" above).
-            # Ring entries of x_pad do reach edge gates, but their
-            # cotangent is dropped (zero ring): every producer of x_pad
-            # in this codebase writes a structurally-zero ring (the
-            # pad-fused upsample matrices), whose own transpose kills
-            # those grads anyway — the composed gradient is exact.
-            dxh = _conv_transpose_rowmajor(dg, wt, cx, ch, take="xh",
-                                           interpret=interpret)
-            dx, dh_prev = dxh[:, :, :cx], dxh[:, :, cx:]
             dx_pad = jnp.pad(dx, ((0, 0), (1, 1), (0, 0), (1, 1)))
         else:
-            dh_prev = _conv_transpose_rowmajor(dg, wt, cx, ch, take="h",
-                                               interpret=interpret)
             dx_pad = jnp.zeros_like(x_pad) if x_pad is not None else None
-        return dh_prev, dx_pad, dc_prev, ds, dwt
+        return dh_prev, dx_pad, dc_prev, dg, dwt
+
+    cell.defvjp(fwd, bwd)
+    return cell
+
+
+def _up_matrices(h_in: int, w_in: int, out_h: int, out_w: int, dtype,
+                 pad: bool):
+    """Align-corners interp matrices (same construction as
+    models/rowmajor_decoder._upsample_rowmajor); pad=True ships the
+    zero halo ring as zero border rows/cols."""
+    import numpy as np
+    from .upsample import _interp_matrix
+    rm = _interp_matrix(h_in, out_h)
+    cm = _interp_matrix(w_in, out_w)
+    if pad:
+        rm = np.pad(rm, ((1, 1), (0, 0)))
+        cm = np.pad(cm, ((1, 1), (0, 0)))
+    return jnp.asarray(rm, dtype), jnp.asarray(cm, dtype)
+
+
+def _upsample_pad_rowmajor(h_small, out_h: int, out_w: int):
+    """(B, h, C, w) -> (B, out_h+2, C, out_w+2) padded bilinear upsample
+    (bit-identical to models/rowmajor_decoder._upsample_rowmajor(pad=True):
+    same interp matrices, same f32-accumulate-then-cast einsums)."""
+    rm, cm = _up_matrices(h_small.shape[1], h_small.shape[3], out_h, out_w,
+                          h_small.dtype, pad=True)
+    x = jnp.einsum("oh,bhcw->bocw", rm, h_small,
+                   preferred_element_type=jnp.float32).astype(h_small.dtype)
+    return jnp.einsum("bocw,pw->bocp", x, cm,
+                      preferred_element_type=jnp.float32).astype(
+                          h_small.dtype)
+
+
+def _upsample_transpose_rowmajor(dx, in_h: int, in_w: int):
+    """Transpose of the (unpadded) bilinear upsample: (B, out_h, C, out_w)
+    cotangent -> (B, in_h, C, in_w)."""
+    rm, cm = _up_matrices(in_h, in_w, dx.shape[1], dx.shape[3], dx.dtype,
+                          pad=False)
+    t = jnp.einsum("oh,bocp->bhcp", rm, dx,
+                   preferred_element_type=jnp.float32).astype(dx.dtype)
+    return jnp.einsum("pw,bhcp->bhcw", cm, t,
+                      preferred_element_type=jnp.float32).astype(dx.dtype)
+
+
+@functools.lru_cache(maxsize=32)
+def make_fused_cell_up_vjp(cx: int, ch: int, interpret: bool = False):
+    """Upsample-fused differentiable cell: fn(h_small, h_prev, c_prev, s,
+    wt) -> (h, c), where the cell's up-input is the padded 2x bilinear
+    upsample of ``h_small`` (the previous cell's hidden state), computed
+    INSIDE the custom_vjp boundary.
+
+    Why: with the plain cell vjp the scan stacks the padded upsample
+    output x_pad (B, 2h+2, Cx, 2w+2) as a per-step residual — ~4x the
+    bytes of its source h_small, and h_small is already stored as the
+    previous cell's carry residual. At the T=20 b32 cityscapes step the
+    x_pads were 1.25 GB of the 3.9 GB save set
+    (scripts/analyze_residuals.py). Saving h_small and replaying the two
+    interp einsums in the backward trades ~2 cheap MXU matmuls per cell
+    per step for that DUS traffic. Math is bit-identical to the unfused
+    composition: same upsample einsums forward, and the backward's
+    explicit transpose einsums are exactly the AD transpose of the
+    forward pair (the pad ring rows of the interp matrices are zero, so
+    the unpadded-dx transpose is exact)."""
+    assert cx > 0, "cell0 has no up-input"
+
+    @jax.custom_vjp
+    def cell(h_small, h_prev, c_prev, s_term, wt):
+        x_pad = _upsample_pad_rowmajor(h_small, h_prev.shape[1],
+                                       h_prev.shape[3])
+        return fused_cell_rowmajor(h_prev, x_pad, c_prev, s_term, wt,
+                                   cx=cx, ch=ch, interpret=interpret)
+
+    def fwd(h_small, h_prev, c_prev, s_term, wt):
+        out = cell(h_small, h_prev, c_prev, s_term, wt)
+        return out, (h_small, h_prev, c_prev, s_term, wt)
+
+    def bwd(res, cts):
+        h_small, h_prev, c_prev, s_term, wt = res
+        dh, dc = cts
+        x_pad = _upsample_pad_rowmajor(h_small, h_prev.shape[1],
+                                       h_prev.shape[3])  # replay, not saved
+        dg, dc_prev, dwt, dx, dh_prev = _cell_bwd_core(
+            h_prev, x_pad, c_prev, s_term, wt, dh, dc, cx=cx, ch=ch,
+            interpret=interpret)
+        dh_small = _upsample_transpose_rowmajor(dx, h_small.shape[1],
+                                                h_small.shape[3])
+        return dh_small, dh_prev, dc_prev, dg, dwt
 
     cell.defvjp(fwd, bwd)
     return cell

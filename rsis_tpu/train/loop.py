@@ -119,11 +119,17 @@ class Trainer:
         if not cfg.log_term:
             log_path = os.path.join(model_dir(cfg), cfg.log_file)
             print("Training logs will be saved to:", log_path)
-            log_fp = open(log_path, "w")
+            # line-buffered so the log is tail-able during the run;
+            # append on resume — each stage of a multi-resume run used to
+            # overwrite the previous stage's history (the round-5 soak
+            # lost its stage-1/2 logs to exactly this)
+            mode = "a" if cfg.resume else "w"
+            log_fp = open(log_path, mode, buffering=1)
             sys.stdout = log_fp
             # stderr goes to train.err like the reference
             # (reference: src/train.py:253-256)
-            err_fp = open(os.path.join(model_dir(cfg), "train.err"), "w")
+            err_fp = open(os.path.join(model_dir(cfg), "train.err"), mode,
+                          buffering=1)
             sys.stderr = err_fp
 
         print(cfg.to_dict())

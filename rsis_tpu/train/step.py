@@ -163,8 +163,13 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
             mask_flat = mask.reshape(mask.shape[0], -1)
             # stacked in compute dtype: f32-upcasting here doubled the
             # scan-output DUS traffic (11 ms/step at T=20 b32) for
-            # bf16-precision data; the losses upcast inside the reduce
-            cost_col = cost_fn(mask_flat)
+            # bf16-precision data; the losses upcast inside the reduce.
+            # stop_gradient HERE, inside the scan body — the matcher costs
+            # are gradient-dead (stop_gradient in _losses), but applied
+            # only outside the scan the AD still stacked the cost path's
+            # residuals per step (a 336 MB f32 sigmoid at T=20 b32,
+            # scripts/analyze_residuals.py)
+            cost_col = lax.stop_gradient(cost_fn(mask_flat))
             return new_carry, (mask_flat, cls.astype(jnp.float32),
                                stop[:, 0].astype(jnp.float32), cost_col)
     elif use_fast:
@@ -179,8 +184,13 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
             mask_flat = mask.reshape(mask.shape[0], -1)
             # stacked in compute dtype: f32-upcasting here doubled the
             # scan-output DUS traffic (11 ms/step at T=20 b32) for
-            # bf16-precision data; the losses upcast inside the reduce
-            cost_col = cost_fn(mask_flat)
+            # bf16-precision data; the losses upcast inside the reduce.
+            # stop_gradient HERE, inside the scan body — the matcher costs
+            # are gradient-dead (stop_gradient in _losses), but applied
+            # only outside the scan the AD still stacked the cost path's
+            # residuals per step (a 336 MB f32 sigmoid at T=20 b32,
+            # scripts/analyze_residuals.py)
+            cost_col = lax.stop_gradient(cost_fn(mask_flat))
             return new_carry, (mask_flat, cls.astype(jnp.float32),
                                stop[:, 0].astype(jnp.float32), cost_col)
     else:
@@ -194,9 +204,10 @@ def _forward_with_costs(cfg: Config, encoder, decoder, params, batch_stats,
             mask_flat = mask.reshape(mask.shape[0], -1)
             # stacked in compute dtype: f32-upcasting here doubled the
             # scan-output DUS traffic (11 ms/step at T=20 b32) for
-            # bf16-precision data; the losses upcast inside the reduce
-            # cost of this prediction against every GT instance: (B, N)
-            cost_col = cost_fn(mask_flat)
+            # bf16-precision data; the losses upcast inside the reduce.
+            # cost of this prediction against every GT instance: (B, N);
+            # stop_gradient inside the body (see the rowmajor branch)
+            cost_col = lax.stop_gradient(cost_fn(mask_flat))
             return new_carry, (mask_flat, cls.astype(jnp.float32),
                                stop[:, 0].astype(jnp.float32), cost_col)
 

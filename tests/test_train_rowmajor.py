@@ -160,3 +160,76 @@ def test_rowmajor_multidevice_grads_match_single():
         scale = np.abs(a).max() + 1e-10
         assert np.abs(a - b).max() <= 5e-4 * scale + 1e-7, (
             jax.tree_util.keystr(path), np.abs(a - b).max(), scale)
+
+
+def test_save_small_grads_match_standard(monkeypatch):
+    """RSIS_SAVE_SMALL=1 (upsample-fused cell vjp + sparse gmax; the
+    opt-in memory lever, default off) must produce the same loss/grads
+    as the standard residual path — and actually shrink the
+    scan-stacked residual bytes."""
+    from jax._src.ad_checkpoint import saved_residuals
+
+    cfg = Config(dataset="synthetic", base_model="tiny", hidden_size=16,
+                 num_classes=3, imsize=64, maxseqlen=3, gt_maxseqlen=4,
+                 batch_size=2, resize=True, pallas="on",
+                 compute_dtype="float32")
+    _assert_rowmajor_selected(cfg)
+    variables = init_variables(cfg, jax.random.PRNGKey(0))
+    state = create_train_state(cfg, variables)
+    batch = _make_batch(cfg)
+    flags = StepFlags(jnp.float32(1), jnp.float32(1), jnp.float32(1))
+    rng = jax.random.PRNGKey(7)
+
+    results = {}
+    for setting in ["1", "0"]:
+        monkeypatch.setenv("RSIS_SAVE_SMALL", setting)
+        loss, grads = _grad_fn(cfg)(state.params, state.batch_stats,
+                                    batch, flags, rng)
+        encoder, decoder = build_models(cfg)
+
+        def fwd_only(params):
+            x, y_mask, *_ = decode_batch(cfg, batch)
+            masks, clss, stops, costs, _ = _forward_with_costs(
+                cfg, encoder, decoder, params, state.batch_stats, x,
+                y_mask, cfg.maxseqlen, train=True, rng=rng, remat=False)
+            return (jnp.sum(masks.astype(jnp.float32)) + jnp.sum(clss)
+                    + jnp.sum(stops) + jnp.sum(costs.astype(jnp.float32)))
+
+        scan_bytes = 0
+        for aval, _ in saved_residuals(fwd_only, state.params):
+            if aval.shape and aval.shape[0] == cfg.maxseqlen:
+                scan_bytes += (int(np.prod(aval.shape))
+                               * aval.dtype.itemsize)
+        results[setting] = (float(loss), grads, scan_bytes)
+
+    l1, g1, b1 = results["1"]
+    l0, g0, b0 = results["0"]
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g1),
+                            jax.tree.leaves(g0)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        assert np.abs(a - b).max() <= 1e-5 * scale + 1e-8, (
+            jax.tree_util.keystr(path), np.abs(a - b).max(), scale)
+    # at this tiny geometry the x_pad/gmax saves are a smaller fraction
+    # of the set (~23% shrink); the bench geometry shrinks 46%
+    # (3609 -> 1952 MB scan-stacked, scripts/analyze_residuals.py,
+    # docs/PERF.md round 5)
+    assert b1 < 0.9 * b0, (b1, b0)
+
+
+def test_gmax_sparse_matches_max_vjp():
+    from rsis_tpu.models.rowmajor_decoder import gmax_sparse
+
+    h = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 5, 16))
+    ct = jax.random.normal(jax.random.PRNGKey(1), (2, 5))
+
+    def via_sparse(h):
+        return jnp.sum(gmax_sparse(h) * ct)
+
+    def via_max(h):
+        return jnp.sum(jnp.max(h, axis=(1, 3)) * ct)
+
+    np.testing.assert_allclose(via_sparse(h), via_max(h), rtol=1e-6)
+    np.testing.assert_allclose(jax.grad(via_sparse)(h),
+                               jax.grad(via_max)(h), atol=1e-6)

@@ -366,14 +366,19 @@ def _dwt_kernel_enabled(ch: int, w: int) -> bool:
     Step-level A/B at the T=20 cityscapes recipe (perf_probe_dwt_step,
     2026-08-19, v5e): einsum everywhere 261.2 ms, cell4 only 254.5 ms,
     cells 3+4 254.9 ms — the finest cell carries the entire ~6.5 ms win
-    and cell3 is a wash (its isolated numbers are noise-dominated). The
-    lane-packed variant (pack > 1, the coarse cells) passes both
-    interpret mode AND isolated hardware runs at every cell
-    geometry/dtype, yet faults with `TPU backend error (Internal)` when
-    embedded in the full train step (bisected per-cell on v5e,
-    2026-08-18) — and the coarse cells' einsum fallback is cheap anyway
-    (dwt cost scales with H·W; the coarse cells hold <7% of the decode
-    pixels)."""
+    and cell3 is a wash (its isolated numbers are noise-dominated).
+
+    The lane-packed variant (pack > 1, the coarse cells) passes interpret
+    mode AND isolated hardware runs at every cell geometry/dtype, but the
+    in-step behavior is toolchain-fragile: round 4 (2026-08-18) saw
+    `TPU backend error (Internal)` at pack 2/4/8; at round-5 HEAD
+    (2026-08-20) pack=2 and pack=4 pass the full step individually
+    (253.10 ms for cells 2+3+4 — within the 0.2% run noise of cell4-only)
+    while pack=8 (cell0) still faults — see scripts/repro_dwt_fault.py
+    for the committed bisect ladder and docs/PERF.md round 5. Auto stays
+    at W >= 256: the pack<=4 cells buy noise-level time (dwt cost scales
+    with H·W; the coarse cells hold <7% of the decode pixels) and sit in
+    a domain the Mosaic toolchain has already miscompiled once."""
     v = os.environ.get("RSIS_PALLAS_DWT", "")
     if v in ("all", "1"):
         return True

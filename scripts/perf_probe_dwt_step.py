@@ -28,6 +28,15 @@ SETTINGS = (
     ("0", "einsum everywhere"),
     ("8", "cell4 only (ch=8, W=256) (== auto at this geometry)"),
     ("8,16", "cells 3+4"),
+    # lane-packed arms (pack > 1). Round-5 silicon status (2026-08-20,
+    # scripts/repro_dwt_fault.py + this probe): pack=2 ("...32") and
+    # pack=4 ("64") now pass the full step; pack=8 (ch=128, cell0)
+    # still faults — but ONLY with the dy-fold kernels in the same
+    # program (step-nodyfold passes). The "all" arm therefore DIES with
+    # `TPU backend error (Internal)` unless RSIS_DYFOLD=0; it runs last
+    # so the safe arms always report.
+    ("8,16,32", "cells 2+3+4 (cell2 lane-packed)"),
+    ("all", "every cell incl. pack=8 (FAULTS at HEAD with dyfold on)"),
 )
 
 

@@ -10,9 +10,16 @@ empirical workaround; this script shrinks the fault to the SMALLEST
 context that reproduces it so the guard has a committed repro + compiler
 signature and can be retired when the toolchain fixes it.
 
-Context ladder at the faulting geometry (cell2 of the cityscapes recipe:
-cx=64, ch=32, 32x64, pack=2, b=32, bf16), each level run in a FRESH
-process (a faulted TPU client can poison later work in the same process):
+Round-5 status (2026-08-20, v5e): at round-4's faulting geometry (cell2,
+ch=32, pack=2) ALL six ladder levels now PASS — and so does the full
+step at ch=64 (pack=4). The fault survives only at ch=128 (cell0,
+pack=8, 8x16): `RSIS_PALLAS_DWT=128` (or "all") still dies with
+``TPU backend error (Internal)`` at run time. The default geometry
+below is therefore cell0; `REPRO_CH=32` reruns round 4's target.
+
+Context ladder at the target geometry (cx=2ch, b=32, bf16), each level
+run in a FRESH process (a faulted TPU client can poison later work in
+the same process):
 
   kernel        isolated weight_grad_rowmajor call   (known PASS)
   cell          custom_vjp cell grad, single step
@@ -33,8 +40,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LEVELS = ["kernel", "cell", "scan", "scan-donate", "step", "step-nodyfold"]
-# the faulting geometry: cell2 of resnet101/h128 at 256x512
-CX, CH, H, W, B, T = 64, 32, 32, 64, 32, 20
+# Geometry by hidden width (REPRO_CH). Round-5 in-step bisect on v5e
+# (2026-08-20, docs/PERF.md round 5): pack=2 (ch=32) and pack=4 (ch=64)
+# now PASS the full step individually; only pack=8 — cell0, ch=128,
+# 8x16 — still faults, so that is the default repro target. ch=32 was
+# round 4's faulting geometry (it passed the whole ladder at HEAD).
+CH = int(os.environ.get("REPRO_CH", "128"))
+CX, W = 2 * CH, 16 * (128 // CH)
+H, B, T = W // 2, 32, 20
 # REPRO_SMALL=1: tiny batch/T + interpret-on-CPU self-test of the ladder
 if os.environ.get("REPRO_SMALL"):
     B, T = 2, 3

@@ -174,10 +174,16 @@ def augment_wire_batch(rng: jax.Array, x: jnp.ndarray, y_mask: jnp.ndarray,
     # instance masks are disjoint (sequence_from_masks splits an instance
     # map), so the N mask planes collapse into ONE id plane for the warp,
     # and the N-plane expansion afterwards is a cheap elementwise compare.
-    # ids <= N are exact in either payload dtype. The einsum promotes to
-    # int32 so uint8 wire masks read at 1 byte/px without overflow.
-    ids = jnp.einsum("bnhw,n->bhw", masks.astype(jnp.int32),
-                     jnp.arange(1, n + 1, dtype=jnp.int32))
+    # ids <= N are exact in either payload dtype. The reduction stays u8
+    # end-to-end: products n*mask <= N < 256 fit a byte, and max (not
+    # sum) needs no wider accumulator — equal to the weighted sum on
+    # disjoint planes. The previous int32 einsum lowered to a dot whose
+    # converted operand materialized the full (B, N, H, W) tensor as s32
+    # in HBM (335 MB + a 1.0 ms relayout copy at the train geometry,
+    # docs/PERF.md round 5); the u8 multiply+max fuses into one pass over
+    # the 4x-smaller wire bytes.
+    ids = jnp.max(masks * jnp.arange(1, n + 1, dtype=jnp.uint8)
+                  [None, :, None, None], axis=1)
 
     use_warp = (warp_available(h, w, rotation, shear, zoom_range,
                                translation)

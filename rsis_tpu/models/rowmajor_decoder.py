@@ -43,6 +43,37 @@ def _to_rowmajor(x_nhwc: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(x_nhwc, -1, 2)
 
 
+def _conv2d_rowmajor_out(x_nhwc, kernel, bias=None):
+    """SAME conv reading NHWC and writing (B, H, C, W) directly.
+
+    Functionally identical to ``_to_rowmajor(_conv2d(x, k, b))`` but the
+    transpose lives inside the convolution's output dimension numbers,
+    so XLA can lay the result out for its row-major consumers (the
+    Pallas cells) without a separate full-tensor relayout — in both the
+    forward and the autodiff backward, which XLA derives with the same
+    dimension numbers (docs/PERF.md round-5 copy anatomy: the
+    conv<->Pallas layout seam)."""
+    out = lax.conv_general_dilated(
+        x_nhwc, kernel.astype(x_nhwc.dtype), window_strides=(1, 1),
+        padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHCW"))
+    if bias is not None:
+        out = out + bias.astype(out.dtype)[None, None, :, None]
+    return out
+
+
+def _hoist_rmconv_enabled() -> bool:
+    """RSIS_HOIST_RMCONV=1: compute the hoisted S terms with the
+    row-major-out conv instead of the NHWC conv + moveaxis seam.
+    Default OFF — the step-level A/B is a wash (T=20: 251.10 vs
+    250.96 ms, v5e 2026-08-20): XLA realizes the permuted output dims
+    with the same internal relayout the explicit moveaxis costs, so the
+    conv<->Pallas layout seam is not removable from the conv side (the
+    measured negative result for docs/PERF.md round-5 copy anatomy).
+    Resolved at trace-build time, like every kernel env-switch (cached
+    jits ignore env flips — docs/PERF.md round-4 stale-trace rule)."""
+    return os.environ.get("RSIS_HOIST_RMCONV", "0") == "1"
+
+
 def _hoist_cells_rowmajor(dec_params: dict, skips: Sequence[jnp.ndarray],
                           hidden_size: int, skip_mode: str):
     """Per-cell (packed weight, S term, cx) with S in row-major layout.
@@ -51,6 +82,8 @@ def _hoist_cells_rowmajor(dec_params: dict, skips: Sequence[jnp.ndarray],
     over concat(up, skip, h) splits into conv_x(up) + conv_s(skip) +
     conv_h(h), and conv_s(skip) + bias is constant across the scan."""
     widths = decoder_widths(hidden_size)
+    rm = _hoist_rmconv_enabled()
+    conv_s = _conv2d_rowmajor_out if rm else _conv2d
     cells = []
     for i in range(len(widths)):
         gates = dec_params[f"clstm{i}"]["gates"]
@@ -59,7 +92,7 @@ def _hoist_cells_rowmajor(dec_params: dict, skips: Sequence[jnp.ndarray],
         if i == 0:
             cs = skips[0].shape[-1]
             ks, kh = kernel[:, :, :cs], kernel[:, :, cs:]
-            s_term = _conv2d(skips[0], ks, bias)
+            s_term = conv_s(skips[0], ks, bias)
             step_kernel = kh
             cx = 0
         else:
@@ -69,17 +102,19 @@ def _hoist_cells_rowmajor(dec_params: dict, skips: Sequence[jnp.ndarray],
                 kx = kernel[:, :, :cp]
                 ks = kernel[:, :, cp:cp + cs]
                 kh = kernel[:, :, cp + cs:]
-                s_term = _conv2d(skips[i], ks, bias)
+                s_term = conv_s(skips[i], ks, bias)
             elif skip_mode == "sum":
                 kx = kernel[:, :, :cp]
                 kh = kernel[:, :, cp:]
-                s_term = _conv2d(skips[i], kx, bias)
+                s_term = conv_s(skips[i], kx, bias)
             elif skip_mode == "none":
                 kx = kernel[:, :, :cp]
                 kh = kernel[:, :, cp:]
                 b_ = bias.astype(skips[i].dtype)
-                s_term = jnp.broadcast_to(
-                    b_, skips[i].shape[:3] + (4 * ch,))
+                b, h, w = skips[i].shape[:3]
+                s_term = (jnp.broadcast_to(b_[:, None], (b, h, 4 * ch, w))
+                          if rm else
+                          jnp.broadcast_to(b_, (b, h, w, 4 * ch)))
             else:
                 raise ValueError(
                     f"skip_mode {skip_mode!r} is not channel-separable")
@@ -87,8 +122,8 @@ def _hoist_cells_rowmajor(dec_params: dict, skips: Sequence[jnp.ndarray],
             cx = cp
         wt = pack_cell_weights(step_kernel, cx, ch,
                                dtype=s_term.dtype)
-        cells.append({"wt": wt, "s": _to_rowmajor(s_term), "cx": cx,
-                      "ch": ch})
+        cells.append({"wt": wt, "s": s_term if rm else _to_rowmajor(s_term),
+                      "cx": cx, "ch": ch})
     return cells
 
 

@@ -77,3 +77,27 @@ class TestRowmajorDecoder:
                                    atol=1e-4)
         np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_w),
                                    atol=1e-4)
+
+
+class TestHoistRmconv:
+    @pytest.mark.parametrize("skip_mode", ["concat", "sum", "none"])
+    def test_rowmajor_out_conv_matches_moveaxis(self, skip_mode,
+                                                monkeypatch):
+        """RSIS_HOIST_RMCONV=1 (S terms via the row-major-out conv) must
+        produce the exact cells the default NHWC-conv + moveaxis path
+        does — the switch only relocates a transpose (docs/PERF.md
+        round-5 copy anatomy; step-level wash on silicon)."""
+        dec, params, skips = make_setup(skip_mode=skip_mode)
+        monkeypatch.delenv("RSIS_HOIST_RMCONV", raising=False)
+        base = _hoist_cells_rowmajor(params, skips, dec.hidden_size,
+                                     skip_mode)
+        monkeypatch.setenv("RSIS_HOIST_RMCONV", "1")
+        rm = _hoist_cells_rowmajor(params, skips, dec.hidden_size,
+                                   skip_mode)
+        assert len(base) == len(rm)
+        for cb, cr in zip(base, rm):
+            assert cb["cx"] == cr["cx"] and cb["ch"] == cr["ch"]
+            np.testing.assert_allclose(np.asarray(cr["s"]),
+                                       np.asarray(cb["s"]), atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(cr["wt"]),
+                                          np.asarray(cb["wt"]))
